@@ -1,0 +1,101 @@
+"""Link-extraction + text-extraction unit tests (SURVEY.md §5.1b-style)."""
+
+from track0s.extract import (
+    ExtractedLink,
+    decode_html,
+    extract_links,
+    extract_text,
+    parse_html,
+    sniff_charset,
+)
+
+BASE = "http://h0.example.test/p/0"
+
+
+def links(html: str):
+    return extract_links(BASE, html.encode("utf-8"))
+
+
+def test_basic_anchor():
+    ls = links('<a href="/p/1">x</a>')
+    assert ls == [ExtractedLink("http://h0.example.test/p/1", "a", "href", False)]
+
+
+def test_absolute_and_relative():
+    ls = links('<a href="http://h1.example.test/q">x</a><a href="sub/page">y</a>')
+    assert [l.url for l in ls] == [
+        "http://h1.example.test/q",
+        "http://h0.example.test/p/sub/page",
+    ]
+
+
+def test_document_order_and_requisites():
+    ls = links(
+        '<img src="/i.png"><a href="/a">a</a><script src="/s.js"></script>'
+        '<link href="/c.css" rel="stylesheet"><iframe src="/f"></iframe>'
+    )
+    assert [(l.tag, l.is_requisite) for l in ls] == [
+        ("img", True),
+        ("a", False),
+        ("script", True),
+        ("link", True),
+        ("iframe", False),
+    ]
+
+
+def test_skip_schemes_fragments_empty():
+    ls = links(
+        '<a href="javascript:void(0)">j</a><a href="mailto:a@b">m</a>'
+        '<a href="#top">f</a><a href="">e</a><a href="data:text/plain,x">d</a>'
+        '<a href="tel:+1">t</a>'
+    )
+    assert ls == []
+
+
+def test_css_url_in_style_attr():
+    ls = links('<div style="background:url(/bg.png)">x</div>')
+    assert ls == [ExtractedLink("http://h0.example.test/bg.png", "div", "style", True)]
+
+
+def test_form_action_and_startend():
+    ls = links('<form action="/submit"></form><img src="/x.png"/>')
+    assert [(l.tag, l.attr) for l in ls] == [("form", "action"), ("img", "src")]
+
+
+def test_text_skips_script_style():
+    text = extract_text(
+        BASE,
+        b"<html><body><p>Hello  world</p><script>var x=1;</script>"
+        b"<style>.a{}</style><p>Bye</p></body></html>",
+    )
+    assert text == "Hello  world\nBye"
+
+
+def test_text_entities():
+    assert extract_text(BASE, b"<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+def test_charset_sniff_and_decode():
+    raw = '<html><head><meta charset="latin-1"></head><body>caf\xe9</body></html>'.encode(
+        "latin-1"
+    )
+    assert sniff_charset(raw) == "latin-1"
+    assert "café" in decode_html(raw)
+
+
+def test_decode_utf8_fallback():
+    raw = "<p>héllo</p>".encode("utf-8")
+    assert extract_text(BASE, raw) == "héllo"
+
+
+def test_decode_bad_bytes_deterministic():
+    raw = b"<p>a\xff\xfeb</p>"
+    t1 = extract_text(BASE, raw)
+    t2 = extract_text(BASE, raw)
+    assert t1 == t2  # replacement chars, but stable
+
+
+def test_one_pass_links_and_text():
+    ls, text = parse_html(BASE, '<p>hi</p><a href="/a">go</a>')
+    assert text == "hi\ngo"
+    assert len(ls) == 1

@@ -1,0 +1,157 @@
+"""HTML link extraction + visible-text extraction. Pure stdlib.
+
+This module is the **single parser** shared by (a) the synthetic-web
+generator (ground-truth ``text`` column), (b) the single-process oracle
+spider, and (c) the Spark ``mapInPandas`` Arrow UDF — so "byte-identical
+extracted text per url" (BASELINE.json:15 input_hint) holds by
+construction, not by luck (SURVEY.md §0, §2.5 E1–E3).
+
+Reference parity: models the tag→URL-attribute walk of a track0-style
+parser (reference locus ``track/parser.py`` [PK-med]; /root/reference is
+an empty mount this session — SURVEY.md §0). The tag map below is the
+frozen normative map of FIXTURES.md §3.
+
+Determinism contract (frozen; any change is a fixture-version bump):
+  * charset: declared/meta charset if it names a known codec, decoded
+    with errors='replace'; else utf-8 errors='replace'
+  * links: document order, urljoin()-resolved against the page URL,
+    javascript:/mailto:/data:/tel: and empty hrefs skipped
+  * text: character data outside <script>/<style>/<template>, each chunk
+    .strip()ed, empties dropped, joined with '\\n'
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+#: tag -> (attr, is_requisite). Frozen normative map (FIXTURES.md §3).
+TAG_ATTRS: dict[str, tuple[str, bool]] = {
+    "a": ("href", False),
+    "frame": ("src", False),
+    "iframe": ("src", False),
+    "form": ("action", False),
+    "img": ("src", True),
+    "script": ("src", True),
+    "link": ("href", True),
+    "source": ("src", True),
+    "embed": ("src", True),
+    "audio": ("src", True),
+    "video": ("src", True),
+}
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "about:")
+_SKIP_TEXT_TAGS = frozenset({"script", "style", "template"})
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_CSS_URL_RE = re.compile(r"""url\(\s*['"]?([^'")]+)['"]?\s*\)""")
+
+
+def sniff_charset(raw: bytes) -> str | None:
+    """Charset from a <meta charset=...> in the first 1024 bytes."""
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if not m:
+        return None
+    name = m.group(1).decode("ascii", "replace")
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        return None
+    return name
+
+
+def decode_html(raw: bytes, declared: str | None = None) -> str:
+    """bytes -> str with the frozen fallback chain (E3)."""
+    for cs in (declared, sniff_charset(raw)):
+        if cs:
+            try:
+                codecs.lookup(cs)
+            except LookupError:
+                continue
+            return raw.decode(cs, errors="replace")
+    return raw.decode("utf-8", errors="replace")
+
+
+@dataclass(frozen=True)
+class ExtractedLink:
+    url: str  # absolute, urljoin-resolved (NOT canonicalized)
+    tag: str
+    attr: str
+    is_requisite: bool
+
+
+class _Parser(HTMLParser):
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base = base_url
+        self.links: list[ExtractedLink] = []
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def _emit(self, tag: str, attr: str, value: str, requisite: bool) -> None:
+        v = value.strip()
+        if not v or v.startswith("#"):
+            return
+        low = v.lower()
+        if any(low.startswith(s) for s in _SKIP_SCHEMES):
+            return
+        try:
+            absu = urljoin(self.base, v)
+        except ValueError:
+            return
+        if not absu.lower().startswith(("http://", "https://")):
+            return
+        self.links.append(ExtractedLink(absu, tag, attr, requisite))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip_depth += 1
+        ad = dict(attrs)
+        spec = TAG_ATTRS.get(tag)
+        if spec is not None:
+            attr, req = spec
+            val = ad.get(attr)
+            if val is not None:
+                self._emit(tag, attr, val, req)
+        style = ad.get("style")
+        if style:
+            for m in _CSS_URL_RE.finditer(style):
+                self._emit(tag, "style", m.group(1), True)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip_depth -= 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            s = data.strip()
+            if s:
+                self.chunks.append(s)
+
+
+def parse_html(base_url: str, html: str) -> tuple[list[ExtractedLink], str]:
+    """(links in document order, visible text) — one pass."""
+    p = _Parser(base_url)
+    p.feed(html)
+    p.close()
+    return p.links, "\n".join(p.chunks)
+
+
+def extract_links(base_url: str, raw: bytes, declared_charset: str | None = None):
+    links, _ = parse_html(base_url, decode_html(raw, declared_charset))
+    return links
+
+
+def extract_text(base_url: str, raw: bytes, declared_charset: str | None = None) -> str:
+    _, text = parse_html(base_url, decode_html(raw, declared_charset))
+    return text
