@@ -1,0 +1,121 @@
+"""spark-submit entry point for the distributed crawl.
+
+    spark-submit --py-files dist/track0s.zip jobs/crawl.py \
+        --pages /data/pages_parquet --ckpt /data/ckpt \
+        --seeds http://h0.example.test/p/0 http://h1.example.test/p/0 \
+        --follow "+original-domain -depth>3 +requisite" --rounds 50
+
+Also runnable as plain ``python jobs/crawl.py`` (builds a local
+SparkSession) with ``--profile sf-unit|sf-correct`` to generate the
+deterministic synthetic web in-memory instead of reading parquet
+(FIXTURES.md §2). Prints a JSON summary line plus the head of the
+crawl_log — the comparison artifact (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datagen import webgen  # noqa: E402
+from track0s.config import CrawlConfig  # noqa: E402
+from track0s.robots import RobotsTable  # noqa: E402
+
+
+PROFILES = {"sf-unit": webgen.SF_UNIT, "sf-correct": webgen.SF_CORRECT}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", help="pages parquet path (url,warc_ts,html,text,lang)")
+    ap.add_argument("--profile", choices=sorted(PROFILES), help="synthetic web profile")
+    ap.add_argument("--seeds", nargs="*", default=None)
+    ap.add_argument("--follow", default="+original-domain -depth>3 +requisite")
+    ap.add_argument("--save", default="")
+    ap.add_argument("--stop", default="")
+    ap.add_argument("--rounds", type=int, default=50)
+    ap.add_argument("--budget", type=int, default=100)
+    ap.add_argument("--ckpt", default=None, help="checkpoint root (default: temp dir)")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
+    ap.add_argument("--robots-parquet", default=None)
+    ap.add_argument("--head", type=int, default=10, help="crawl_log rows to print")
+    args = ap.parse_args(argv)
+
+    from track0_spark.session import build_spark
+    from track0_spark.plans.loop import CrawlLoop
+    from track0_spark.sources.pages import pages_from_rows, read_pages
+
+    spark = build_spark(cores=args.cores, app_name="track0s-crawl")
+    try:
+        robots = RobotsTable(default_budget=args.budget)
+        if args.profile:
+            prof = PROFILES[args.profile]
+            pages = pages_from_rows(spark, webgen.gen_pages(prof))
+            seeds = args.seeds or webgen.SEEDS
+            if args.robots_parquet is None:
+                robots = RobotsTable.from_rows(
+                    webgen.gen_robots_rows(prof), default_budget=args.budget
+                )
+        elif args.pages:
+            pages = read_pages(spark, args.pages)
+            if not args.seeds:
+                ap.error("--seeds required with --pages")
+            seeds = args.seeds
+        else:
+            ap.error("one of --pages / --profile required")
+        if args.robots_parquet:
+            rows = [
+                (
+                    r["host"],
+                    list(r["disallow_prefixes"] or []),
+                    r["crawl_delay_s"],
+                    r["budget_per_round"],
+                )
+                for r in spark.read.parquet(args.robots_parquet).collect()
+            ]
+            robots = RobotsTable.from_rows(rows, default_budget=args.budget)
+
+        cfg = CrawlConfig.from_specs(
+            seeds,
+            follow=args.follow,
+            save=args.save,
+            stop=args.stop,
+            robots=robots,
+            default_budget=args.budget,
+            max_rounds=args.rounds,
+        )
+        ckpt = args.ckpt or tempfile.mkdtemp(prefix="track0s-ckpt-")
+        loop = CrawlLoop(spark, cfg, pages, ckpt, salt=args.salt)
+        summary = loop.run()
+        print(
+            json.dumps(
+                {
+                    "rounds": summary.rounds,
+                    "fetched": summary.fetched,
+                    "seen": summary.seen,
+                    "frontier_pending": summary.frontier_pending,
+                    "wall_s": summary.wall_s,
+                    "ckpt": ckpt,
+                }
+            )
+        )
+        log = loop.crawl_log()
+        if log is not None and args.head:
+            for row in log.orderBy("round", "fetch_seq").limit(args.head).collect():
+                print(
+                    f"  r{row['round']:>3} seq{row['fetch_seq']:>5} "
+                    f"{row['status']} d{row['depth']} {row['url_canon']}"
+                )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

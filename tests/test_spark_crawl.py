@@ -1,0 +1,111 @@
+"""The core acceptance tests: Spark engine == oracle, exactly.
+
+Crawl-order + URL-seen-set exact match under the same seed list and
+politeness budget (BASELINE.json:2,:14), byte-identical text extraction
+(BASELINE.json:15), kill/resume reproducibility, and salted-top-k
+equivalence (SURVEY.md §5.2).
+"""
+
+import pytest
+
+from datagen import webgen
+from reference_impl.spider import OracleSpider
+from track0s.config import CrawlConfig
+from track0s.robots import RobotsTable
+from track0_spark.plans.loop import CrawlLoop
+from track0_spark.sources.pages import pages_from_rows
+
+FOLLOW = "+original-domain -depth>3 +requisite"
+
+LOG_COLS = [
+    "round",
+    "fetch_seq",
+    "url_canon",
+    "host",
+    "depth",
+    "domain_depth",
+    "status",
+    "saved",
+    "is_requisite",
+]
+
+
+def make_cfg():
+    robots = RobotsTable.from_rows(webgen.gen_robots_rows(webgen.SF_UNIT))
+    return CrawlConfig.from_specs(
+        webgen.SEEDS, follow=FOLLOW, robots=robots, max_rounds=40
+    )
+
+
+@pytest.fixture(scope="module")
+def web_rows():
+    return webgen.gen_pages(webgen.SF_UNIT)
+
+
+@pytest.fixture(scope="module")
+def oracle_log(web_rows):
+    sp = OracleSpider(make_cfg(), webgen.store_from_rows(web_rows))
+    log = sp.run()
+    return log, sp.seen
+
+
+def spark_log_rows(loop):
+    df = loop.crawl_log()
+    rows = df.orderBy("round", "fetch_seq").collect()
+    return [tuple(r[c] for c in LOG_COLS) for r in rows]
+
+
+def oracle_log_rows(log):
+    return [tuple(r[c] for c in LOG_COLS) for r in log]
+
+
+def test_spark_matches_oracle_exactly(spark, web_rows, oracle_log, tmp_path):
+    """THE acceptance bar: full crawl_log sequence + seen set match."""
+    olog, oseen = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(spark, make_cfg(), pages, str(tmp_path / "ckpt"))
+    summary = loop.run()
+    assert summary.fetched == len(olog)
+    got = spark_log_rows(loop)
+    exp = oracle_log_rows(olog)
+    assert got == exp  # exact crawl order, statuses, save decisions
+    seen_rows = loop.store.load_seen(summary.rounds)
+    got_seen = {r["url_canon"] for r in seen_rows.collect()}
+    assert got_seen == oseen
+    assert summary.frontier_pending == 0
+
+
+def test_resume_reproduces_identical_log(spark, web_rows, oracle_log, tmp_path):
+    """Kill after 3 rounds -> resume -> identical full crawl_log."""
+    olog, _ = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    root = str(tmp_path / "ckpt2")
+    loop1 = CrawlLoop(spark, make_cfg(), pages, root)
+    loop1.run(max_rounds=3)  # "killed" mid-crawl at a round boundary
+    loop2 = CrawlLoop(spark, make_cfg(), pages, root)  # fresh loop, same store
+    loop2.run()
+    assert spark_log_rows(loop2) == oracle_log_rows(olog)
+
+
+def test_salted_topk_identical_output(spark, web_rows, oracle_log, tmp_path):
+    """P4 skew salting must not change ANY output row (SURVEY.md §5.2.3)."""
+    olog, _ = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(spark, make_cfg(), pages, str(tmp_path / "ckpt3"), salt=5)
+    loop.run(max_rounds=6)
+    got = spark_log_rows(loop)
+    exp = [t for t in oracle_log_rows(olog) if t[0] < 6]
+    assert got == exp
+
+
+def test_text_extraction_byte_identical(spark, web_rows):
+    """UDF text == pages.text for every url (BASELINE.json:15)."""
+    from track0_spark.functions.udfs import extract_text_batches
+
+    pages = pages_from_rows(spark, web_rows)
+    out = pages.select("url", "html").mapInPandas(
+        extract_text_batches, "url string, text string"
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    for row in web_rows:
+        assert got[row["url"]] == row["text"], row["url"]

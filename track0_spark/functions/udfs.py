@@ -1,0 +1,103 @@
+"""Vectorized Arrow UDF stages — the ONLY JVM->Python crossings.
+
+One fused ``mapInPandas`` pass per round does HTML link extraction +
+relative-URL resolution + canonicalization (SURVEY.md §2.5 E1–E3 fused
+with §2.2 U1/U2: one Python round-trip, not three). The parsing itself
+is ``track0s.extract`` / ``track0s.canon`` — the exact functions the
+single-process oracle runs, so per-URL output is byte-identical by
+construction (BASELINE.json:15).
+
+Rows come back **pre-exploded** (one output row per link) rather than
+as ArrayType + ``F.explode`` — cheaper through Arrow and keeps the
+child-row schema flat. No per-row Python UDFs anywhere (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from track0s.canon import canonicalize, host_of, path_of, scheme_of
+from track0s.extract import decode_html, parse_html
+
+#: input columns the extract pass needs (column-pruned before the UDF)
+EXTRACT_INPUT_COLS = [
+    "url_canon",
+    "host",
+    "depth",
+    "domain_depth",
+    "fetch_seq",
+    "html",
+]
+
+
+def extract_candidates_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(parent page rows) -> (one row per extracted link), document order."""
+    dtypes = {
+        "url_canon": object,
+        "host": object,
+        "path": object,
+        "protocol": object,
+        "src_tag": object,
+        "src_attr": object,
+        "is_requisite": bool,
+        "parent_seq": "int64",
+        "link_idx": "int32",
+        "via_url": object,
+        "via_host": object,
+        "parent_depth": "int32",
+        "parent_domain_depth": "int32",
+    }
+    cols = list(dtypes)
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in cols}
+        for url, host, depth, dd, seq, html in zip(
+            pdf["url_canon"],
+            pdf["host"],
+            pdf["depth"],
+            pdf["domain_depth"],
+            pdf["fetch_seq"],
+            pdf["html"],
+        ):
+            links, _ = parse_html(url, decode_html(bytes(html)))
+            for idx, link in enumerate(links):
+                uc = canonicalize(link.url)
+                out["url_canon"].append(uc)
+                out["host"].append(host_of(uc))
+                out["path"].append(path_of(uc))
+                out["protocol"].append(scheme_of(uc))
+                out["src_tag"].append(link.tag)
+                out["src_attr"].append(link.attr)
+                out["is_requisite"].append(link.is_requisite)
+                out["parent_seq"].append(int(seq))
+                out["link_idx"].append(idx)
+                out["via_url"].append(url)
+                out["via_host"].append(host)
+                out["parent_depth"].append(int(depth))
+                out["parent_domain_depth"].append(int(dd))
+        yield pd.DataFrame(
+            {c: pd.Series(out[c], dtype=dtypes[c]) for c in cols}
+        )
+
+
+def extract_text_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(url, html) -> (url, text) — byte-identical to the oracle parser."""
+    for pdf in batches:
+        texts = [
+            parse_html(u, decode_html(bytes(h)))[1]
+            for u, h in zip(pdf["url"], pdf["html"])
+        ]
+        yield pd.DataFrame({"url": pdf["url"], "text": texts})
+
+
+def canon_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """url -> url_canon (standalone U1 stage; round plan uses the fused pass)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"url": pdf["url"], "url_canon": [canonicalize(u) for u in pdf["url"]]}
+        )

@@ -1,0 +1,112 @@
+"""The deterministic BSP driver loop (SURVEY.md §3.2, §3.4).
+
+Each iteration re-reads the checkpointed frontier/seen snapshot and
+runs one RoundPlanner job — lineage is truncated naturally every round
+(no unbounded plan growth over 100s of rounds), and any round boundary
+is a valid kill/resume point: ``CrawlLoop.run`` starting from an
+existing store continues from the newest complete snapshot and
+reproduces the exact same crawl_log (BASELINE.json:14; the resume test
+in tests/test_spark_crawl.py).
+
+Per-round metrics land in each round's MANIFEST.json (rows per table,
+wall seconds, fetched/admitted counts) — the lineage/metrics checkpoint
+of BASELINE.json:6; optional per-partition row counts are collected via
+``spark_partition_id`` when ``partition_metrics=True``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from track0s.config import CrawlConfig
+
+from ..sources.snapshot import SnapshotStore
+from .round import RoundPlanner
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int = 0
+    fetched: int = 0
+    seen: int = 0
+    frontier_pending: int = 0
+    wall_s: float = 0.0
+    round_metrics: list = field(default_factory=list)
+
+
+class CrawlLoop:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages: DataFrame,
+        store_root: str,
+        salt: int = 0,
+        partition_metrics: bool = False,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.planner = RoundPlanner(spark, cfg, pages, salt=salt)
+        self.store = SnapshotStore(spark, store_root)
+        self.partition_metrics = partition_metrics
+
+    def _part_counts(self, df: DataFrame) -> list:
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        return [[r["pid"], r["count"]] for r in rows]
+
+    def run(self, max_rounds: int | None = None) -> CrawlSummary:
+        t0 = time.time()
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        latest = self.store.latest_round()
+        if latest is None:
+            # round_00000 = initial state (seed frontier, seed seen, no log)
+            self.store.commit(
+                0,
+                self.planner.seed_frontier(),
+                self.planner.seed_seen(),
+                None,
+                {"kind": "initial"},
+            )
+            latest = 0
+        summary = CrawlSummary()
+        r = latest
+        while r < limit:
+            man = self.store.manifest(r)
+            if man["counts"]["frontier"] == 0:
+                break  # crawl complete
+            frontier = self.store.load_frontier(r)
+            seen = self.store.load_seen(r)
+            rt0 = time.time()
+            res = self.planner.run_round(r, frontier, seen)
+            extra = {"kind": "round", "log_round": r}
+            if self.partition_metrics:
+                extra["frontier_partitions"] = self._part_counts(res.frontier_next)
+            man2 = self.store.commit(
+                r + 1, res.frontier_next, res.seen_delta, res.crawl_log, extra
+            )
+            for df in res.persisted:
+                df.unpersist()
+            man2["round_wall_s"] = round(time.time() - rt0, 3)
+            summary.round_metrics.append(man2)
+            summary.fetched += man2["counts"]["crawl_log"]
+            r += 1
+            if man2["counts"]["crawl_log"] == 0 and man2["counts"]["frontier"] > 0:
+                # budget pathology (e.g. all budgets 0): avoid spinning
+                break
+        final = self.store.manifest(r)
+        summary.rounds = r
+        summary.seen = final["counts"]["seen"]
+        summary.frontier_pending = final["counts"]["frontier"]
+        summary.wall_s = round(time.time() - t0, 3)
+        return summary
+
+    def crawl_log(self) -> DataFrame | None:
+        return self.store.full_crawl_log()

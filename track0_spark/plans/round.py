@@ -1,0 +1,216 @@
+"""One crawl round as a single declarative DataFrame job (SURVEY.md §3.2).
+
+Stage order is the plan-shape discipline of SURVEY.md §4: politeness
+ranking runs on the skinny ``frontier`` columns ONLY; the fat
+``pages.html`` column is joined in *after* the top-k cut, so the scan
+of ``pages`` is column-pruned and the window never carries page bodies.
+Exactly one JVM->Python crossing per round (the fused extract UDF).
+
+Determinism: every ordering key is a pure function of row data
+(host, priority, depth, discovered_round, url_canon); dedup is a keyed
+row_number, not dropDuplicates; fetch_seq derives from per-host offsets
+(operators/topk.py). Given the same snapshot + config this job is a
+pure function — the basis of the resume guarantee (BASELINE.json:14).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from track0s.config import CrawlConfig
+from track0s.robots import DEFAULT_BUDGET
+from track0s.rules import DEFAULTS
+
+from ..functions.exprs import content_type_expr, is_html_expr, url_hash_expr
+from ..functions.rules_compile import compile_rules
+from ..functions.udfs import EXTRACT_INPUT_COLS, extract_candidates_batches
+from ..operators.topk import select_batch, with_fetch_seq
+from ..schemas import CANDIDATE, CRAWL_LOG, FRONTIER, ROBOTS, SEEN
+
+
+@dataclass
+class RoundResult:
+    crawl_log: DataFrame  # this round's log rows
+    frontier_next: DataFrame
+    seen_delta: DataFrame  # ONLY the URLs admitted this round (append)
+    persisted: list  # DataFrames to unpersist after the snapshot commit
+
+
+class RoundPlanner:
+    """Compiles a CrawlConfig once; builds the per-round DataFrame plan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        pages: DataFrame,
+        salt: int = 0,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.salt = salt
+        # fetch join needs only (url, html): column-pruned here so the
+        # parquet scan never reads text/lang/warc_ts (SURVEY.md §4).
+        self.pages = pages.select(
+            F.col("url").alias("p_url"), F.col("html").alias("html")
+        )
+        hosts = sorted(cfg.seed_hosts)
+        prefixes = list(cfg.seed_prefixes)
+        self.follow_col = compile_rules(cfg.follow, DEFAULTS["follow"], hosts, prefixes)
+        self.save_col = compile_rules(cfg.save, DEFAULTS["save"], hosts, prefixes)
+        self.stop_col = compile_rules(cfg.stop, DEFAULTS["stop"], hosts, prefixes)
+        self.robots_df = spark.createDataFrame(
+            [
+                (p.host, list(p.disallow_prefixes), p.crawl_delay_s, p.budget_per_round)
+                for p in cfg.robots.policies.values()
+            ],
+            schema=ROBOTS,
+        )
+
+    # ---------------- initial state ----------------
+
+    def seed_frontier(self) -> DataFrame:
+        from track0s import canon
+        from track0s.config import priority_of
+
+        seen_urls: set[str] = set()
+        rows = []
+        for u in self.cfg.seed_canon:
+            if u in seen_urls:
+                continue
+            seen_urls.add(u)
+            rows.append(
+                (
+                    u,
+                    None,
+                    canon.host_of(u),
+                    canon.path_of(u),
+                    canon.scheme_of(u),
+                    0,
+                    0,
+                    None,
+                    None,
+                    None,
+                    None,
+                    False,
+                    0,
+                    priority_of(False),
+                )
+            )
+        df = self.spark.createDataFrame(rows, schema=FRONTIER)
+        return df.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+
+    def seed_seen(self) -> DataFrame:
+        return self.seed_frontier().select(
+            "url_canon", "url_hash", F.lit(0).alias("first_round")
+        )
+
+    # ---------------- one round ----------------
+
+    def run_round(self, r: int, frontier: DataFrame, seen: DataFrame) -> RoundResult:
+        cfg = self.cfg
+
+        # P1-P4: per-host politeness ranking on skinny frontier columns
+        batch, rest = select_batch(
+            frontier, self.robots_df, cfg.default_budget, self.salt
+        )
+        # P5: global deterministic fetch sequence
+        batch = with_fetch_seq(batch)
+
+        # S2: fetch = left join against pages (keeps 404-analog misses)
+        fetched = batch.join(
+            self.pages, batch.url_canon == self.pages.p_url, "left"
+        ).drop("p_url")
+        fetched = (
+            fetched.withColumn(
+                "status", F.when(F.col("html").isNotNull(), 200).otherwise(404)
+            )
+            .withColumn("size", F.length("html"))
+            .withColumn("content_type", content_type_expr(F.col("path")))
+        )
+        # R8/R9 + @save/@stop: compiled CASE WHEN chains, no UDF
+        fetched = fetched.withColumn(
+            "saved", (F.col("status") == 200) & self.save_col
+        ).withColumn("stop", self.stop_col)
+        # the round's three sink actions all read ``fetched``; persist so
+        # the window+join+fetch lineage executes once, not three times
+        fetched = fetched.persist()
+
+        crawl_log = fetched.select(
+            F.lit(r).alias("round"),
+            "fetch_seq",
+            "url_canon",
+            "url_hash",
+            "host",
+            "depth",
+            "domain_depth",
+            "status",
+            "saved",
+            "is_requisite",
+            "via_url",
+        )
+
+        # E1-E3 (+U1/U2 fused): the single JVM->Python crossing
+        parents = fetched.filter(
+            (~F.col("stop"))
+            & (F.col("status") == 200)
+            & is_html_expr(F.col("content_type"))
+        ).select(*EXTRACT_INPUT_COLS)
+        links = parents.mapInPandas(extract_candidates_batches, CANDIDATE)
+
+        # U5/U6: depth + domain-depth propagation (native arithmetic)
+        cand = (
+            links.withColumn("depth", F.col("parent_depth") + 1)
+            .withColumn(
+                "domain_depth",
+                F.when(
+                    F.col("host") == F.col("via_host"),
+                    F.col("parent_domain_depth") + 1,
+                ).otherwise(0),
+            )
+            .withColumn("content_type", content_type_expr(F.col("path")))
+            .withColumn("size", F.lit(None).cast("int"))
+            .drop("parent_depth", "parent_domain_depth")
+        )
+
+        # R1-R11: @follow pipeline — codegen'd, pushes down
+        cand = cand.filter(self.follow_col)
+
+        # P3: robots disallow prefixes (broadcast, native higher-order fn)
+        robots = F.broadcast(self.robots_df.select("host", "disallow_prefixes"))
+        cand = cand.join(robots, "host", "left").filter(
+            F.col("disallow_prefixes").isNull()
+            | ~F.exists(
+                "disallow_prefixes", lambda p: F.col("path").startswith(p)
+            )
+        ).drop("disallow_prefixes")
+
+        # D1: in-round dedup — deterministic first-discovery-wins
+        wdup = Window.partitionBy("url_canon").orderBy("parent_seq", "link_idx")
+        cand = cand.withColumn("dup_rk", F.row_number().over(wdup)).filter(
+            F.col("dup_rk") == 1
+        ).drop("dup_rk")
+
+        # D2: exact cross-round seen anti-join
+        fresh = cand.join(seen, "url_canon", "left_anti")
+
+        admitted = (
+            fresh.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+            .withColumn("discovered_round", F.lit(r + 1))
+            .withColumn(
+                "priority", F.when(F.col("is_requisite"), 0).otherwise(1)
+            )
+            .select(*[f.name for f in FRONTIER.fields])
+            .persist()  # consumed by both frontier_next and seen_delta
+        )
+
+        frontier_next = rest.select(
+            *[f.name for f in FRONTIER.fields]
+        ).unionByName(admitted)
+        # D4: seen update — append-only delta (the Iceberg append)
+        seen_delta = admitted.select(
+            "url_canon", "url_hash", F.lit(r + 1).alias("first_round")
+        )
+        return RoundResult(crawl_log, frontier_next, seen_delta, [fetched, admitted])

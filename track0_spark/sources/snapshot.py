@@ -1,0 +1,144 @@
+"""Atomic per-round snapshot store — the Iceberg-shaped sandbox fallback.
+
+Production target is Iceberg tables with ``bucket(url_hash)`` partition
+transforms and snapshot-per-round commits (SURVEY.md §7 M3); the
+sandbox has no Iceberg jars and no network, so this module provides the
+same commit semantics on plain parquet:
+
+    root/round_00007/
+        frontier/  seen_delta/  crawl_log/   (parquet dirs, Spark-written)
+        MANIFEST.json                        (counts, metrics)
+
+A snapshot is written entirely under ``root/.tmp-<round>/`` and then
+``os.rename``d into place — atomic on POSIX, so a killed job leaves
+either the complete previous round or the complete next round, never a
+torn state. ``latest_round`` trusts only directories whose MANIFEST
+exists (the manifest is written last inside the tmp dir). Resume =
+load the newest complete snapshot and continue (BASELINE.json:14).
+
+Append-only design: ``seen_delta`` holds only the URLs admitted that
+round; the seen *state* at round r is the union of deltas 0..r — each
+commit writes O(admitted) rows, not O(total), exactly how the Iceberg
+production variant would append. ``crawl_log`` is likewise per-round.
+Row counts come from parquet footers (driver-side metadata read, no
+Spark job).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_VERSION = 2
+
+
+def _pq_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round_{rnd:05d}")
+
+    def latest_round(self) -> int | None:
+        best = None
+        for name in os.listdir(self.root):
+            if not name.startswith("round_"):
+                continue
+            d = os.path.join(self.root, name)
+            if os.path.exists(os.path.join(d, "MANIFEST.json")):
+                r = int(name.split("_")[1])
+                best = r if best is None or r > best else best
+        return best
+
+    def commit(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen_delta: DataFrame,
+        crawl_log: DataFrame | None,
+        extra_meta: dict | None = None,
+    ) -> dict:
+        """Write state-after-round ``rnd`` (+ that round's log) atomically."""
+        tmp = os.path.join(self.root, f".tmp-{rnd:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        t0 = time.time()
+        frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
+        seen_delta.write.mode("overwrite").parquet(os.path.join(tmp, "seen_delta"))
+        if crawl_log is not None:
+            crawl_log.write.mode("overwrite").parquet(
+                os.path.join(tmp, "crawl_log")
+            )
+        prev_seen = (
+            self.manifest(rnd - 1)["counts"]["seen"] if rnd > 0 else 0
+        )
+        delta_rows = _pq_count(os.path.join(tmp, "seen_delta"))
+        counts = {
+            "frontier": _pq_count(os.path.join(tmp, "frontier")),
+            "seen_delta": delta_rows,
+            "seen": prev_seen + delta_rows,
+            "crawl_log": (
+                _pq_count(os.path.join(tmp, "crawl_log"))
+                if crawl_log is not None
+                else 0
+            ),
+        }
+        manifest = {
+            "format_version": FORMAT_VERSION,
+            "round": rnd,
+            "counts": counts,
+            "wall_s": round(time.time() - t0, 3),
+            **(extra_meta or {}),
+        }
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        final = self._dir(rnd)
+        if os.path.exists(final):
+            shutil.rmtree(final)  # re-commit after partial resume: replace
+        os.rename(tmp, final)
+        return manifest
+
+    def load_frontier(self, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(rnd), "frontier"))
+
+    def load_seen(self, rnd: int) -> DataFrame:
+        """Seen state at round rnd = union of deltas 0..rnd."""
+        paths = [
+            os.path.join(self._dir(r), "seen_delta") for r in range(rnd + 1)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        return self.spark.read.parquet(*paths)
+
+    def manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._dir(rnd), "MANIFEST.json")) as f:
+            return json.load(f)
+
+    def full_crawl_log(self) -> DataFrame | None:
+        """Union of all committed rounds' logs (ORDER BY round, fetch_seq
+        is the comparison artifact — BASELINE.json:2)."""
+        latest = self.latest_round()
+        paths = [
+            os.path.join(self._dir(r), "crawl_log")
+            for r in range((latest or 0) + 1)
+            if os.path.exists(os.path.join(self._dir(r), "crawl_log"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
