@@ -43,11 +43,16 @@ class WebProfile:
     name: str
     hosts: int
     pages: int
+    n_words: int = 12  # body words per page
+    max_links: int = 5  # same-host outlinks drawn per page (1..max)
 
 
 SF_UNIT = WebProfile("sf-unit", 3, 200)
 SF_CORRECT = WebProfile("sf-correct", 20, 20000)
-SF_BENCH = WebProfile("sf-bench", 200, 120000)
+# bench pages are deliberately heavier (~2.5 KB html, up to 12 links) so
+# extraction compute — not per-round scheduling overhead — dominates the
+# scaling measurement (BASELINE.md scaling-efficiency row)
+SF_BENCH = WebProfile("sf-bench", 200, 600000, n_words=250, max_links=12)
 
 
 def host_name(i: int) -> str:
@@ -73,13 +78,15 @@ def _words(url: str, k: int = 12) -> str:
     return " ".join(VOCAB[h64(url, f"w{n}") % len(VOCAB)] for n in range(k))
 
 
-def page_html(host_idx: int, page_idx: int, sizes: list[int]) -> bytes:
+def page_html(
+    host_idx: int, page_idx: int, sizes: list[int], profile: WebProfile
+) -> bytes:
     """Frozen html template (FIXTURES.md §2). Pure function of the URL."""
     url = page_url(host_idx, page_idx)
     hsize = sizes[host_idx]
     nhosts = len(sizes)
     tags: list[str] = []
-    k = 1 + h64(url, "k") % 5
+    k = 1 + h64(url, "k") % profile.max_links
     for n in range(k):
         if h64(url, f"x{n}") % 5 == 0 and nhosts > 1:  # ~20% cross-host
             ti = h64(url, f"xh{n}") % nhosts
@@ -97,7 +104,7 @@ def page_html(host_idx: int, page_idx: int, sizes: list[int]) -> bytes:
     if page_idx % 7 == 0:
         tags.append(f'<img src="/static/{h64(url, "img") % 1000}.png">')
         tags.append('<link href="/static/site.css" rel="stylesheet">')
-    body = f"<p>{_words(url)}</p>" + "".join(tags)
+    body = f"<p>{_words(url, profile.n_words)}</p>" + "".join(tags)
     html = (
         f'<html><head><meta charset="utf-8"><title>T{h64(url, "t") % 10**8}'
         f"</title></head><body>{body}</body></html>"
@@ -105,9 +112,11 @@ def page_html(host_idx: int, page_idx: int, sizes: list[int]) -> bytes:
     return html.encode("utf-8")
 
 
-def page_row(host_idx: int, page_idx: int, sizes: list[int]) -> dict:
+def page_row(
+    host_idx: int, page_idx: int, sizes: list[int], profile: WebProfile
+) -> dict:
     url = page_url(host_idx, page_idx)
-    html = page_html(host_idx, page_idx, sizes)
+    html = page_html(host_idx, page_idx, sizes, profile)
     return {
         "url": url,
         "warc_ts": EPOCH_2024 + h64(url, "ts") % 31536000,
@@ -126,7 +135,7 @@ def iter_page_ids(profile: WebProfile):
 
 def gen_pages(profile: WebProfile) -> list[dict]:
     sizes = host_sizes(profile)
-    return [page_row(hi, pj, sizes) for hi, pj in iter_page_ids(profile)]
+    return [page_row(hi, pj, sizes, profile) for hi, pj in iter_page_ids(profile)]
 
 
 def gen_robots_rows(profile: WebProfile) -> list[tuple]:

@@ -98,6 +98,22 @@ def test_salted_topk_identical_output(spark, web_rows, oracle_log, tmp_path):
     assert got == exp
 
 
+def test_bloom_gate_off_identical_output(spark, web_rows, oracle_log, tmp_path):
+    """D3 acceptance (SURVEY.md §7 M5): gate on/off -> identical output.
+
+    The main oracle test runs WITH the gate (default); this one disables
+    it and must produce the same crawl_log prefix."""
+    olog, _ = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(
+        spark, make_cfg(), pages, str(tmp_path / "ckpt4"), bloom=False
+    )
+    loop.run(max_rounds=5)
+    got = spark_log_rows(loop)
+    exp = [t for t in oracle_log_rows(olog) if t[0] < 5]
+    assert got == exp
+
+
 def test_text_extraction_byte_identical(spark, web_rows):
     """UDF text == pages.text for every url (BASELINE.json:15)."""
     from track0_spark.functions.udfs import extract_text_batches

@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+sf0.01, compare row count, column names, and an order-insensitive
+normalized value multiset. Run before every commit that touches
+contract.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def rowset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from track0_spark.session import build_spark
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = build_spark(cores=8, shuffle_partitions=8, app_name="contract-check")
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        scols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+        status = "rows-only"
+        if name in sqls:
+            cur = con.execute(sqls[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            problems = []
+            if len(srows) != len(drows):
+                problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+            if sorted(scols) != sorted(dcols):
+                problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+            if not problems:
+                a, b = rowset(srows, scols), rowset(drows, dcols)
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
+            status = "OK" if not problems else "; ".join(problems)
+            if problems:
+                failures.append(name)
+        print(f"{name:26s} {len(srows):>6d} rows  {time.time()-t0:5.1f}s  {status}")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(only=sys.argv[1:] or None))

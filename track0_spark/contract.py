@@ -1,0 +1,569 @@
+"""Driver-contract queries: every SURVEY.md §2 operator class demoed on
+the /root/testdata tables, each with a DuckDB ANSI-SQL oracle twin.
+
+Each entry maps a crawl-engine operator (or training-data pipeline op)
+onto the TPC-H-ish contract tables per FIXTURES.md §1's mapping: the
+seen anti-join becomes an events anti-join, the per-host politeness
+top-k becomes a per-user top-k, rule glob filters become documents
+filters, the compiled rule pipeline runs against document attributes,
+metrics aggregation runs on lineitem, and the training-data ops
+(exact-dup fingerprinting, shingling, n-gram Jaccard near-dup pairs,
+brute-force cosine ANN, token/quality stats) run on documents and
+embeddings.
+
+Conventions (the driver hash-compares): every computed column is
+aliased identically in DataFrame and SQL; integer aggregates are cast
+to BIGINT on both sides; float similarity scores are rounded to 4
+decimals on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from track0s.rules import parse_pipeline
+from .functions.rules_compile import compile_rules
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl-operator analogs on contract tables
+# --------------------------------------------------------------------------
+
+
+def q01_agg_metrics(spark, sf):
+    """A1 metrics aggregation — hash agg with partial+final (TPC-H Q1 shape)."""
+    return (
+        T(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       avg(l_discount) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_topk_per_key(spark, sf):
+    """P1 per-host priority queue analog: top-3 per user by (value, id)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        T(spark, sf, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", "rk")
+    )
+
+
+Q02_SQL = """
+SELECT user_id, event_id, value, rk FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rk
+  FROM events) t WHERE rk <= 3
+"""
+
+
+def q03_anti_join_seen(spark, sf):
+    """D2 seen anti-join analog: events of users with no 'purchase'."""
+    ev = T(spark, sf, "events")
+    purchasers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.join(purchasers, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+
+
+Q03_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                    AND p.value > 150)
+GROUP BY user_id
+"""
+
+
+def q04_left_join_miss(spark, sf):
+    """S2 fetch-miss analog: left join keeps customers with zero orders."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+
+
+Q04_SQL = """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q05_broadcast_join_rev(spark, sf):
+    """Broadcast dim join (robots/seeds pattern): revenue per segment."""
+    c = F.broadcast(T(spark, sf, "customer").select("c_custkey", "c_mktsegment"))
+    o = T(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment, sum(o_totalprice) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q06_glob_filter(spark, sf):
+    """R6 url-glob rule test: compiled glob -> rlike, vs SQL LIKE."""
+    from track0s.rules import glob_to_regex
+
+    return (
+        T(spark, sf, "documents")
+        .filter(F.col("text").rlike(glob_to_regex("*spark*join*")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+Q06_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%spark%join%'
+"""
+
+
+def q07_rule_pipeline(spark, sf):
+    """R12 the compiled ordered rule pipeline itself, vs handwritten
+    CASE WHEN (last-match-wins == first-match of the reversed chain)."""
+    rules = parse_pipeline("+domain=src1* -depth>300 +url=*spark*")
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("int").alias("depth"),
+        F.col("text").alias("url_canon"),
+    )
+    col = compile_rules(rules, False, [], [])
+    return d.select("doc_id", col.alias("decision"))
+
+
+Q07_SQL = """
+SELECT doc_id,
+       CASE WHEN text LIKE '%spark%' THEN TRUE
+            WHEN n_chars > 300 THEN FALSE
+            WHEN source LIKE 'src1%' THEN TRUE
+            ELSE FALSE END AS decision
+FROM documents
+"""
+
+
+def q08_url_parse(spark, sf):
+    """U4 host/path extraction via native parse_url."""
+    d = T(spark, sf, "documents").withColumn(
+        "url", F.concat(F.lit("http://"), "source", F.lit(".example.test/d/"), "doc_id")
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+
+
+Q08_SQL = """
+SELECT doc_id,
+       regexp_extract('http://' || source || '.example.test/d/' || doc_id,
+                      'http://([^/]+)', 1) AS host,
+       '/d/' || doc_id AS path
+FROM documents
+"""
+
+
+def q09_json_scalar(spark, sf):
+    """JSON scalar extraction (events.props)."""
+    return (
+        T(spark, sf, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("k").alias("avg_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+Q09_SQL = """
+SELECT event_type, avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q10_union_distinct(spark, sf):
+    """D4/set-ops analog: union of overlapping slices, exact dedup."""
+    ev = T(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    a = ev.filter(F.col("value") > 150)
+    b = ev.filter(F.col("user_id") < 100)
+    return a.unionByName(b).distinct()
+
+
+Q10_SQL = """
+SELECT event_id, user_id, event_type, value FROM events WHERE value > 150
+UNION
+SELECT event_id, user_id, event_type, value FROM events WHERE user_id < 100
+"""
+
+
+def q11_first_per_type(spark, sf):
+    """P5 deterministic sequencing analog: first 3 events per type by time."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        T(spark, sf, "events")
+        .withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= 3)
+        .select("event_type", "event_id", "seq")
+    )
+
+
+Q11_SQL = """
+SELECT event_type, event_id, seq FROM (
+  SELECT event_type, event_id,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INT) AS seq
+  FROM events) t WHERE seq <= 3
+"""
+
+
+def q12_distinct_cardinality(spark, sf):
+    """A2 cardinality tracking (exact, both backends)."""
+    return (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+Q12_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q13_multi_join(spark, sf):
+    """Catalyst multi-join reordering: revenue per nation in one region."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    n = T(spark, sf, "nation")
+    r = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+
+
+Q13_SQL = """
+SELECT n_name, sum(o_totalprice) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name
+"""
+
+
+def q14_date_pushdown(spark, sf):
+    """Predicate pushdown to the scan: one quarter of orders."""
+    return (
+        T(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline ops (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q15_dedup_exact(spark, sf):
+    """Exact dedup via content fingerprint (hash-groupBy, keep-min)."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q16_token_count(spark, sf):
+    """Token counting (whitespace tokenizer), pure native split."""
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+Q16_SQL = """
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q17_text_quality(spark, sf):
+    """Quality scoring: token stats per doc (length ratios, rounded)."""
+    d = T(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s", "")) / F.col("n_tokens"), 4
+        ).alias("avg_token_len"),
+    )
+
+
+Q17_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q18_lang_stats(spark, sf):
+    """Per-language corpus stats (language-distribution profiling)."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(n_chars) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+_SHINGLE_EXPR = (
+    "transform(sequence(0, size(words) - 3),"
+    " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+)
+
+
+def q19_shingles(spark, sf):
+    """Word-3-gram shingling (the MinHash front end): distinct-shingle
+    counts per doc, all native array functions."""
+    d = (
+        T(spark, sf, "documents")
+        .withColumn("words", F.split(F.trim("text"), r"\s+"))
+        .filter(F.size("words") >= 3)
+        .withColumn("shingles", F.expr(_SHINGLE_EXPR))
+    )
+    return d.select(
+        "doc_id",
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct("shingles")).cast("bigint").alias("n_distinct"),
+    )
+
+
+Q19_SQL = """
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+s AS (SELECT doc_id,
+             list_transform(range(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+      FROM w WHERE len(words) >= 3)
+SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct
+FROM s
+"""
+
+
+def q20_jaccard_pairs(spark, sf):
+    """N-gram Jaccard near-dup candidate pairs on a deterministic doc
+    subset (all-pairs; the LSH-bucketed variant is the scale path)."""
+    d = (
+        T(spark, sf, "documents")
+        .filter(F.col("lang") == "zh")
+        .withColumn("words", F.split(F.trim("text"), r"\s+"))
+        .filter(F.size("words") >= 3)
+        .withColumn("sh", F.array_distinct(F.expr(_SHINGLE_EXPR)))
+        .select("doc_id", "sh")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jac = pairs.withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= 0.01).select("id_a", "id_b", "jaccard")
+
+
+Q20_SQL = """
+WITH d AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE lang = 'zh')
+  WHERE len(words) >= 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.01
+"""
+
+_QVEC = [1.0 if i % 2 == 0 else 0.5 for i in range(64)]
+
+
+def _cosine_col(emb_col: str) -> F.Column:
+    qarr = F.array(*[F.lit(v) for v in _QVEC])
+    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb, qarr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nb = F.sqrt(F.lit(sum(v * v for v in _QVEC)))
+    return dot / (na * nb)
+
+
+def q21_ann_cosine(spark, sf):
+    """Brute-force cosine top-k ANN over embeddings (native fold — no
+    UDF; the IVF/LSH-bucketed variant is the scale path)."""
+    e = T(spark, sf, "embeddings")
+    return (
+        e.select("vec_id", F.round(_cosine_col("embedding"), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_QVEC_SQL = "[" + ", ".join(str(v) for v in _QVEC) + "]"
+
+Q21_SQL = f"""
+SELECT vec_id, round(list_cosine_similarity(embedding, {_QVEC_SQL}), 4) AS sim
+FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q22_embedding_norms(spark, sf):
+    """Vector norm profiling per label (embedding hygiene check)."""
+    e = T(spark, sf, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        e.withColumn("norm", norm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
+    "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
+    "q03_anti_join_seen": (q03_anti_join_seen, Q03_SQL),
+    "q04_left_join_miss": (q04_left_join_miss, Q04_SQL),
+    "q05_broadcast_join_rev": (q05_broadcast_join_rev, Q05_SQL),
+    "q06_glob_filter": (q06_glob_filter, Q06_SQL),
+    "q07_rule_pipeline": (q07_rule_pipeline, Q07_SQL),
+    "q08_url_parse": (q08_url_parse, Q08_SQL),
+    "q09_json_scalar": (q09_json_scalar, Q09_SQL),
+    "q10_union_distinct": (q10_union_distinct, Q10_SQL),
+    "q11_first_per_type": (q11_first_per_type, Q11_SQL),
+    "q12_distinct_cardinality": (q12_distinct_cardinality, Q12_SQL),
+    "q13_multi_join": (q13_multi_join, Q13_SQL),
+    "q14_date_pushdown": (q14_date_pushdown, Q14_SQL),
+    "q15_dedup_exact": (q15_dedup_exact, Q15_SQL),
+    "q16_token_count": (q16_token_count, Q16_SQL),
+    "q17_text_quality": (q17_text_quality, Q17_SQL),
+    "q18_lang_stats": (q18_lang_stats, Q18_SQL),
+    "q19_shingles": (q19_shingles, Q19_SQL),
+    "q20_jaccard_pairs": (q20_jaccard_pairs, Q20_SQL),
+    "q21_ann_cosine": (q21_ann_cosine, Q21_SQL),
+    "q22_embedding_norms": (q22_embedding_norms, Q22_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql.strip() for name, (_fn, sql) in QUERIES.items() if sql}

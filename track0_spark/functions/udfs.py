@@ -21,18 +21,52 @@ import pandas as pd
 from track0s.canon import canonicalize, host_of, path_of, scheme_of
 from track0s.extract import decode_html, parse_html
 
-#: input columns the extract pass needs (column-pruned before the UDF)
+#: input columns the extract pass needs (column-pruned before the UDF).
+#: parent identity is (host, rank) — the same total order as fetch_seq
+#: (seq = host-offset + rank - 1 with offsets monotone in host), so the
+#: global-sequence machinery stays OUT of the extraction hot path.
 EXTRACT_INPUT_COLS = [
     "url_canon",
     "host",
     "depth",
     "domain_depth",
-    "fetch_seq",
+    "rank",
     "html",
 ]
 
 
-def extract_candidates_batches(
+def make_extract_candidates(bloom=None):
+    """Factory for the fused extract pass, optionally closing over a
+    broadcast PartitionedBloom. The bloom probe rides the SAME Python
+    crossing as extraction (zero extra JVM<->Python round-trips —
+    SURVEY.md §4 bloom row): each candidate gets its h64 bloom key and
+    a ``maybe_seen`` verdict; definitely-new rows later skip the exact
+    anti-join entirely. With no bloom every row is ``maybe_seen`` and
+    the plan degenerates to the plain exact anti-join."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from track0s.hashing import h64
+
+        blm = bloom.value if bloom is not None else None
+        for pdf in _extract_candidates_batches(batches):
+            keys = np.fromiter(
+                (h64(u) & 0x7FFF_FFFF_FFFF_FFFF for u in pdf["url_canon"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            pdf["url_h64"] = keys
+            if blm is None:
+                pdf["maybe_seen"] = np.ones(len(pdf), dtype=bool)
+            else:
+                pdf["maybe_seen"] = blm.might_contain_many(keys)
+            yield pdf
+
+    return extract
+
+
+def _extract_candidates_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """(parent page rows) -> (one row per extracted link), document order."""
@@ -44,7 +78,7 @@ def extract_candidates_batches(
         "src_tag": object,
         "src_attr": object,
         "is_requisite": bool,
-        "parent_seq": "int64",
+        "parent_rank": "int32",
         "link_idx": "int32",
         "via_url": object,
         "via_host": object,
@@ -54,12 +88,12 @@ def extract_candidates_batches(
     cols = list(dtypes)
     for pdf in batches:
         out: dict[str, list] = {c: [] for c in cols}
-        for url, host, depth, dd, seq, html in zip(
+        for url, host, depth, dd, rank, html in zip(
             pdf["url_canon"],
             pdf["host"],
             pdf["depth"],
             pdf["domain_depth"],
-            pdf["fetch_seq"],
+            pdf["rank"],
             pdf["html"],
         ):
             links, _ = parse_html(url, decode_html(bytes(html)))
@@ -72,7 +106,7 @@ def extract_candidates_batches(
                 out["src_tag"].append(link.tag)
                 out["src_attr"].append(link.attr)
                 out["is_requisite"].append(link.is_requisite)
-                out["parent_seq"].append(int(seq))
+                out["parent_rank"].append(int(rank))
                 out["link_idx"].append(idx)
                 out["via_url"].append(url)
                 out["via_host"].append(host)

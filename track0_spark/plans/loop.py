@@ -46,12 +46,26 @@ class CrawlLoop:
         store_root: str,
         salt: int = 0,
         partition_metrics: bool = False,
+        bloom: bool = True,
+        bloom_expected_keys: int = 2_000_000,
     ):
         self.spark = spark
         self.cfg = cfg
         self.planner = RoundPlanner(spark, cfg, pages, salt=salt)
         self.store = SnapshotStore(spark, store_root)
         self.partition_metrics = partition_metrics
+        self.use_bloom = bloom
+        self.bloom_expected_keys = bloom_expected_keys
+
+    def _build_bloom(self, upto_round: int):
+        """(Re)build the partitioned bloom from committed seen deltas —
+        pure function of the store, so resume gets the identical gate."""
+        from ..operators.bloom import PartitionedBloom
+
+        b = PartitionedBloom(expected_keys=self.bloom_expected_keys)
+        for rr in range(upto_round + 1):
+            b.add_many(self.store.read_delta_column(rr, "url_h64"))
+        return b
 
     def _part_counts(self, df: DataFrame) -> list:
         rows = (
@@ -77,6 +91,7 @@ class CrawlLoop:
             )
             latest = 0
         summary = CrawlSummary()
+        bloom = self._build_bloom(latest) if self.use_bloom else None
         r = latest
         while r < limit:
             man = self.store.manifest(r)
@@ -85,7 +100,10 @@ class CrawlLoop:
             frontier = self.store.load_frontier(r)
             seen = self.store.load_seen(r)
             rt0 = time.time()
-            res = self.planner.run_round(r, frontier, seen)
+            bloom_bc = (
+                self.spark.sparkContext.broadcast(bloom) if bloom is not None else None
+            )
+            res = self.planner.run_round(r, frontier, seen, bloom_bc=bloom_bc)
             extra = {"kind": "round", "log_round": r}
             if self.partition_metrics:
                 extra["frontier_partitions"] = self._part_counts(res.frontier_next)
@@ -94,6 +112,10 @@ class CrawlLoop:
             )
             for df in res.persisted:
                 df.unpersist()
+            if bloom is not None:
+                bloom.add_many(self.store.read_delta_column(r + 1, "url_h64"))
+                bloom_bc.destroy()
+                man2["bloom_fill"] = round(bloom.fill_ratio(), 4)
             man2["round_wall_s"] = round(time.time() - rt0, 3)
             summary.round_metrics.append(man2)
             summary.fetched += man2["counts"]["crawl_log"]

@@ -25,7 +25,7 @@ from track0s.rules import DEFAULTS
 
 from ..functions.exprs import content_type_expr, is_html_expr, url_hash_expr
 from ..functions.rules_compile import compile_rules
-from ..functions.udfs import EXTRACT_INPUT_COLS, extract_candidates_batches
+from ..functions.udfs import EXTRACT_INPUT_COLS, make_extract_candidates
 from ..operators.topk import select_batch, with_fetch_seq
 from ..schemas import CANDIDATE, CRAWL_LOG, FRONTIER, ROBOTS, SEEN
 
@@ -74,6 +74,9 @@ class RoundPlanner:
     def seed_frontier(self) -> DataFrame:
         from track0s import canon
         from track0s.config import priority_of
+        from track0s.hashing import h64
+
+        from ..operators.bloom import H64_MASK
 
         seen_urls: set[str] = set()
         rows = []
@@ -85,6 +88,7 @@ class RoundPlanner:
                 (
                     u,
                     None,
+                    h64(u) & H64_MASK,
                     canon.host_of(u),
                     canon.path_of(u),
                     canon.scheme_of(u),
@@ -104,20 +108,23 @@ class RoundPlanner:
 
     def seed_seen(self) -> DataFrame:
         return self.seed_frontier().select(
-            "url_canon", "url_hash", F.lit(0).alias("first_round")
+            "url_canon", "url_hash", "url_h64", F.lit(0).alias("first_round")
         )
 
     # ---------------- one round ----------------
 
-    def run_round(self, r: int, frontier: DataFrame, seen: DataFrame) -> RoundResult:
+    def run_round(
+        self, r: int, frontier: DataFrame, seen: DataFrame, bloom_bc=None
+    ) -> RoundResult:
         cfg = self.cfg
 
-        # P1-P4: per-host politeness ranking on skinny frontier columns
+        # P1-P4: per-host politeness ranking on skinny frontier columns.
+        # fetch_seq is NOT computed here — parent identity through the
+        # round is (host, rank), the same total order; the global
+        # sequence materializes only in the crawl_log branch (P5).
         batch, rest = select_batch(
             frontier, self.robots_df, cfg.default_budget, self.salt
         )
-        # P5: global deterministic fetch sequence
-        batch = with_fetch_seq(batch)
 
         # S2: fetch = left join against pages (keeps 404-analog misses)
         fetched = batch.join(
@@ -138,7 +145,9 @@ class RoundPlanner:
         # the window+join+fetch lineage executes once, not three times
         fetched = fetched.persist()
 
-        crawl_log = fetched.select(
+        # P5: global deterministic fetch sequence — only this sink pays
+        # for the per-host offset computation (operators/topk.py)
+        crawl_log = with_fetch_seq(fetched).select(
             F.lit(r).alias("round"),
             "fetch_seq",
             "url_canon",
@@ -158,7 +167,7 @@ class RoundPlanner:
             & (F.col("status") == 200)
             & is_html_expr(F.col("content_type"))
         ).select(*EXTRACT_INPUT_COLS)
-        links = parents.mapInPandas(extract_candidates_batches, CANDIDATE)
+        links = parents.mapInPandas(make_extract_candidates(bloom_bc), CANDIDATE)
 
         # U5/U6: depth + domain-depth propagation (native arithmetic)
         cand = (
@@ -187,14 +196,26 @@ class RoundPlanner:
             )
         ).drop("disallow_prefixes")
 
-        # D1: in-round dedup — deterministic first-discovery-wins
-        wdup = Window.partitionBy("url_canon").orderBy("parent_seq", "link_idx")
+        # D1: in-round dedup — deterministic first-discovery-wins;
+        # (via_host, parent_rank) is the parent's fetch order (== seq)
+        wdup = Window.partitionBy("url_canon").orderBy(
+            "via_host", "parent_rank", "link_idx"
+        )
         cand = cand.withColumn("dup_rk", F.row_number().over(wdup)).filter(
             F.col("dup_rk") == 1
         ).drop("dup_rk")
 
-        # D2: exact cross-round seen anti-join
-        fresh = cand.join(seen, "url_canon", "left_anti")
+        # D3 + D2: bloom-negative rows are PROVABLY unseen (no false
+        # negatives) and skip the join; maybe-seen rows get the exact
+        # anti-join — the seen set stays exact either way
+        if bloom_bc is not None:
+            surely_new = cand.filter(~F.col("maybe_seen"))
+            maybe = cand.filter(F.col("maybe_seen")).join(
+                seen.select("url_canon"), "url_canon", "left_anti"
+            )
+            fresh = surely_new.unionByName(maybe)
+        else:
+            fresh = cand.join(seen.select("url_canon"), "url_canon", "left_anti")
 
         admitted = (
             fresh.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
@@ -209,8 +230,9 @@ class RoundPlanner:
         frontier_next = rest.select(
             *[f.name for f in FRONTIER.fields]
         ).unionByName(admitted)
-        # D4: seen update — append-only delta (the Iceberg append)
+        # D4: seen update — append-only delta (the Iceberg append);
+        # url_h64 rides along so the bloom rebuilds from storage on resume
         seen_delta = admitted.select(
-            "url_canon", "url_hash", F.lit(r + 1).alias("first_round")
+            "url_canon", "url_hash", "url_h64", F.lit(r + 1).alias("first_round")
         )
         return RoundResult(crawl_log, frontier_next, seen_delta, [fetched, admitted])

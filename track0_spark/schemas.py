@@ -18,6 +18,7 @@ FRONTIER = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
         T.StructField("url_hash", T.LongType()),
+        T.StructField("url_h64", T.LongType()),  # bloom key (track0s h64)
         T.StructField("host", T.StringType()),
         T.StructField("path", T.StringType()),
         T.StructField("protocol", T.StringType()),
@@ -37,6 +38,7 @@ SEEN = T.StructType(
     [
         T.StructField("url_canon", T.StringType(), False),
         T.StructField("url_hash", T.LongType()),
+        T.StructField("url_h64", T.LongType()),  # bloom key (track0s h64)
         T.StructField("first_round", T.IntegerType()),
     ]
 )
@@ -67,12 +69,14 @@ CANDIDATE = T.StructType(
         T.StructField("src_tag", T.StringType()),
         T.StructField("src_attr", T.StringType()),
         T.StructField("is_requisite", T.BooleanType()),
-        T.StructField("parent_seq", T.LongType()),
+        T.StructField("parent_rank", T.IntegerType()),
         T.StructField("link_idx", T.IntegerType()),
         T.StructField("via_url", T.StringType()),
         T.StructField("via_host", T.StringType()),
         T.StructField("parent_depth", T.IntegerType()),
         T.StructField("parent_domain_depth", T.IntegerType()),
+        T.StructField("url_h64", T.LongType()),  # bloom key
+        T.StructField("maybe_seen", T.BooleanType()),  # bloom gate verdict
     ]
 )
 

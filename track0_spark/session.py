@@ -23,7 +23,7 @@ def build_spark(
     extra: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle = shuffle_partitions or max(2 * cores, 8)
+    shuffle = shuffle_partitions or max(cores, 8)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -41,4 +41,6 @@ def build_spark(
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -80,12 +80,26 @@ class SnapshotStore:
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         t0 = time.time()
-        frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
-        seen_delta.write.mode("overwrite").parquet(os.path.join(tmp, "seen_delta"))
+        # the three sinks share already-persisted lineage (plans/round.py),
+        # so run the write jobs concurrently — local scheduler overlaps them
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [(frontier, "frontier"), (seen_delta, "seen_delta")]
         if crawl_log is not None:
-            crawl_log.write.mode("overwrite").parquet(
-                os.path.join(tmp, "crawl_log")
-            )
+            writes.append((crawl_log, "crawl_log"))
+        with ThreadPoolExecutor(len(writes)) as ex:
+            futs = [
+                ex.submit(
+                    lambda df, name: df.write.mode("overwrite").parquet(
+                        os.path.join(tmp, name)
+                    ),
+                    df,
+                    name,
+                )
+                for df, name in writes
+            ]
+            for f in futs:
+                f.result()
         prev_seen = (
             self.manifest(rnd - 1)["counts"]["seen"] if rnd > 0 else 0
         )
@@ -125,6 +139,25 @@ class SnapshotStore:
         ]
         paths = [p for p in paths if os.path.exists(p)]
         return self.spark.read.parquet(*paths)
+
+    def read_delta_column(self, rnd: int, column: str):
+        """One seen_delta column of round ``rnd`` as a numpy array, read
+        driver-side via pyarrow (no Spark job) — feeds the bloom gate."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._dir(rnd), "seen_delta")
+        if not os.path.exists(path):
+            return np.zeros(0, dtype=np.int64)
+        files = _glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return np.zeros(0, dtype=np.int64)
+        arrs = [pq.read_table(f, columns=[column])[column] for f in files]
+        import pyarrow as pa
+
+        return pa.concat_arrays(
+            [a.combine_chunks() for a in arrs]
+        ).to_numpy(zero_copy_only=False)
 
     def manifest(self, rnd: int) -> dict:
         with open(os.path.join(self._dir(rnd), "MANIFEST.json")) as f:
