@@ -52,7 +52,7 @@ SF_CORRECT = WebProfile("sf-correct", 20, 20000)
 # bench pages are deliberately heavier (~2.5 KB html, up to 12 links) so
 # extraction compute — not per-round scheduling overhead — dominates the
 # scaling measurement (BASELINE.md scaling-efficiency row)
-SF_BENCH = WebProfile("sf-bench", 200, 600000, n_words=250, max_links=12)
+SF_BENCH = WebProfile("sf-bench", 200, 3000000, n_words=250, max_links=12)
 
 
 def host_name(i: int) -> str:

@@ -43,6 +43,12 @@ def main(argv=None) -> int:
     ap.add_argument("--ckpt", default=None, help="checkpoint root (default: temp dir)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
+    ap.add_argument("--no-bloom", action="store_true", help="disable the bloom seen-gate")
+    ap.add_argument(
+        "--partition-metrics",
+        action="store_true",
+        help="record per-partition frontier row counts in each round manifest",
+    )
     ap.add_argument("--robots-parquet", default=None)
     ap.add_argument("--head", type=int, default=10, help="crawl_log rows to print")
     args = ap.parse_args(argv)
@@ -91,7 +97,15 @@ def main(argv=None) -> int:
             max_rounds=args.rounds,
         )
         ckpt = args.ckpt or tempfile.mkdtemp(prefix="track0s-ckpt-")
-        loop = CrawlLoop(spark, cfg, pages, ckpt, salt=args.salt)
+        loop = CrawlLoop(
+            spark,
+            cfg,
+            pages,
+            ckpt,
+            salt=args.salt,
+            bloom=not args.no_bloom,
+            partition_metrics=args.partition_metrics,
+        )
         summary = loop.run()
         print(
             json.dumps(

@@ -1,0 +1,157 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal) — known-answer checks on constructed corpora.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from track0_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge and the birds sing in the tall "
+        "green trees near the quiet village square at dawn"
+    )
+    near = base.replace("dog", "cat")  # one token changed -> Jaccard ~0.9
+    far = "completely different words here about spark engines and joins"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, far),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["fp"]: (r["n_dups"], r["keeper"]) for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert (2, 0) in got.values()  # docs 0,1 collapse, keeper=min id
+    assert sorted(n for n, _ in got.values()) == [1, 1, 1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert found.get((0, 1)) == 1.0  # exact dup -> identical signature
+    assert (0, 2) in found and found[(0, 2)] >= 0.5  # near dup caught
+    assert not any({a, b} & {3} for a, b in found)  # far doc not paired
+
+
+def test_minhash_deterministic(docs):
+    s1 = {tuple(r["sig"]) for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()}
+    s2 = {tuple(r["sig"]) for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()}
+    assert s1 == s2
+
+
+def test_simhash_near_pairs(docs):
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    d = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert d.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (0, 2) in d  # one-word change -> small hamming distance
+
+
+def test_shingles_expr_matches_python(docs):
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dedup.shingles_expr("text", 3).alias("sh")
+        ).collect()
+    }
+    toks = [r["text"] for r in docs.filter("doc_id = 0").collect()][0].split()
+    exp = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    assert got[0] == exp
+    assert got[4] == []  # 1-token doc -> empty shingle array (guard)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist()) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id bigint, vec array<float>"), rows
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    df, rows = vectors
+    q = [1.0] * 16
+    got = [r["vec_id"] for r in similarity.brute_force_topk(df, "vec_id", "vec", q, 5).collect()]
+    M = np.array([v for _, v in rows])
+    qv = np.array(q)
+    sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    exp = list(np.argsort(-sims)[:5])
+    assert got == exp
+
+
+def test_ann_lsh_recall(vectors):
+    df, rows = vectors
+    q = rows[17][1]  # query with a known exact hit
+    bucketed = similarity.with_lsh_bucket(df, "vec_id", "vec", dim=16, planes=8)
+    top = similarity.ann_topk_lsh(
+        bucketed, "vec_id", "vec", q, dim=16, planes=8, radius=1, k=5
+    ).collect()
+    assert top[0]["vec_id"] == 17  # the vector itself must be found
+    assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_langid_heuristic(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der hund ist nicht in das haus und die katze"),
+        (2, "el gato es una mascota con la casa por que"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.langid_scores(df, "text").collect()}
+    assert got == {0: "en", 1: "de", 2: "es"}
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello world 123!"), (1, "Hello world 123!"), (2, "other text")],
+        "doc_id bigint, text string",
+    )
+    q = textstats.with_quality(df, "text").collect()
+    row = {r["doc_id"]: r for r in q}[0]
+    assert row["n_tokens"] == 3
+    assert row["punct_ratio"] > 0
+    assert row["digit_ratio"] == pytest.approx(3 / 16, abs=1e-3)
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", textstats.fingerprint_expr("text").alias("fp")).collect()
+    }
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_fake_features(spark):
+    media = multimodal.synthetic_media_df(spark, 24)
+    feats = multimodal.extract_features(media, feature="fake").collect()
+    assert len(feats) == 24
+    for r in feats:
+        v = np.array(r["feature"])
+        assert v.shape == (multimodal.FEATURE_DIM,)
+        assert abs(v.sum() - 1.0) < 1e-5  # normalized histogram
+    # deterministic across runs
+    feats2 = multimodal.extract_features(media, feature="fake").collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in feats2]
+
+
+def test_multimodal_real_decode_stubbed(spark):
+    media = multimodal.synthetic_media_df(spark, 3)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, feature="image").collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media_df(spark, 9)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert all(v == [0, 1000, 2000] for v in by_id.values())
+    assert len(by_id) == 3  # only the video rows

@@ -531,6 +531,83 @@ FROM embeddings GROUP BY label
 """
 
 
+def q23_langid(spark, sf):
+    """Heuristic language-ID (stopword-hit argmax), fully native Columns
+    — SQL twin reproduces the same scores and tie-break order."""
+    from .operators.textstats import langid_scores
+
+    return langid_scores(T(spark, sf, "documents"), "text").select(
+        "doc_id", "lang_pred", F.round("score_en", 4).alias("score_en")
+    )
+
+
+def _langid_sql() -> str:
+    from .operators.textstats import STOPWORDS
+
+    score_defs = []
+    for lang, words in STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_defs.append(
+            f"CAST(len(list_intersect(list_distinct("
+            f"string_split_regex(trim(lower(text)), '\\s+')), {arr})) AS DOUBLE)"
+            f" / {len(words)} AS score_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return (
+        "SELECT doc_id, " + case + " AS lang_pred, round(score_en, 4) AS score_en "
+        "FROM (SELECT doc_id, text, " + ", ".join(score_defs) + " FROM documents)"
+    )
+
+
+Q23_SQL = _langid_sql()
+
+
+def q24_minhash_lsh_pairs(spark, sf):
+    """MinHash+LSH near-dup pairs on documents (rows-only check: the
+    seeded permutation family is not expressible in DuckDB SQL)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.35).select(
+        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def q25_simhash_near_pairs(spark, sf):
+    """SimHash banded-Hamming near-dup pairs (rows-only check)."""
+    from .operators.dedup import simhash_near_pairs
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=16)
+
+
+def q26_fingerprint(spark, sf):
+    """Rolling polynomial document fingerprint (rows-only: xxhash64 has
+    no DuckDB twin)."""
+    from .operators.textstats import fingerprint_expr
+
+    return T(spark, sf, "documents").select(
+        "doc_id", fingerprint_expr("text").alias("fp")
+    )
+
+
+def q27_ann_lsh(spark, sf):
+    """LSH-bucketed approximate top-k cosine (rows-only: seeded
+    hyperplanes are not expressible in SQL); brute-force q21 is the
+    exact twin-checked baseline."""
+    from .operators.similarity import ann_topk_lsh, with_lsh_bucket
+
+    e = T(spark, sf, "embeddings")
+    bucketed = with_lsh_bucket(e, "vec_id", "embedding", dim=64, planes=10)
+    return ann_topk_lsh(
+        bucketed, "vec_id", "embedding", _QVEC, dim=64, planes=10, radius=2, k=10
+    ).select("vec_id", F.round("score", 4).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -558,6 +635,11 @@ QUERIES = {
     "q20_jaccard_pairs": (q20_jaccard_pairs, Q20_SQL),
     "q21_ann_cosine": (q21_ann_cosine, Q21_SQL),
     "q22_embedding_norms": (q22_embedding_norms, Q22_SQL),
+    "q23_langid": (q23_langid, Q23_SQL),
+    "q24_minhash_lsh_pairs": (q24_minhash_lsh_pairs, None),
+    "q25_simhash_near_pairs": (q25_simhash_near_pairs, None),
+    "q26_fingerprint": (q26_fingerprint, None),
+    "q27_ann_lsh": (q27_ann_lsh, None),
 }
 
 

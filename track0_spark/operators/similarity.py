@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k with a native fold (no UDF, no
+collect — the score is one codegen'd expression, top-k is TakeOrdered).
+Scale path: random-hyperplane LSH bucketing — each vector gets a
+``planes``-bit signature; a query probes only buckets within a small
+Hamming radius of its own signature, turning a full scan into a
+bucket-pruned scan. Hyperplanes are seeded (track0s SEED) so bucket
+assignments are reproducible across runs and cluster sizes.
+
+At 100 TB: bucket signatures are computed once at ingest (one
+vectorized pass), stored as a column, and the bucket id is a partition
+key — a probe then prunes partitions at the storage layer instead of
+scanning; the brute-force stage runs only inside surviving buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from track0s.hashing import SEED
+
+
+def cosine_score_expr(vec_col: str, query: list[float]):
+    """Native cosine(vec, literal query) as a codegen'd fold."""
+    qarr = F.array(*[F.lit(float(v)) for v in query])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb, qarr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nq = float(np.sqrt(sum(v * v for v in query)))
+    return dot / (na * F.lit(nq))
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    return (
+        df.select(id_col, cosine_score_expr(vec_col, query).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int) -> np.ndarray:
+    rng = np.random.RandomState(SEED)
+    return rng.standard_normal((planes, dim)).astype(np.float64)
+
+
+def lsh_signature_batches(id_col: str, vec_col: str, dim: int, planes: int):
+    """Vectorized bucket signatures: one matmul per Arrow batch."""
+    H = _hyperplanes(dim, planes)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (M @ H.T) > 0  # [n, planes]
+            sig = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": sig})
+
+    return run
+
+
+def with_lsh_bucket(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, planes: int = 12
+) -> DataFrame:
+    sig = df.mapInPandas(
+        lsh_signature_batches(id_col, vec_col, dim, planes),
+        f"id {dict(df.dtypes)[id_col]}, bucket bigint",
+    )
+    return df.join(sig.withColumnRenamed("id", id_col), id_col)
+
+
+def query_buckets(query: list[float], dim: int, planes: int, radius: int = 1):
+    """All bucket ids within Hamming ``radius`` of the query signature."""
+    H = _hyperplanes(dim, planes)
+    q = np.asarray(query, dtype=np.float64)
+    sig = int(((q @ H.T) > 0).astype(np.int64) @ (1 << np.arange(planes)))
+    buckets = {sig}
+    if radius >= 1:
+        buckets |= {sig ^ (1 << i) for i in range(planes)}
+    if radius >= 2:
+        buckets |= {
+            sig ^ (1 << i) ^ (1 << j)
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        }
+    return sorted(buckets)
+
+
+def ann_topk_lsh(
+    bucketed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    planes: int = 12,
+    radius: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: brute-force cosine only inside probed buckets.
+
+    ``bucket IN (...)`` is a pushable predicate — with bucket as a
+    partition key this prunes at the storage layer.
+    """
+    probe = query_buckets(query, dim, planes, radius)
+    cand = bucketed.filter(F.col("bucket").isin(probe))
+    return brute_force_topk(cand, id_col, vec_col, query, k)

@@ -36,13 +36,18 @@ def select_batch(
     robots: DataFrame,
     default_budget: int,
     salt: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """-> (batch with per-host ``rank`` 1..B, leftover frontier rows).
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, list]:
+    """-> (batch with per-host ``rank`` 1..B, leftover rows, persisted).
 
     Leftovers keep their frontier schema and stay pending (politeness
     defers, never drops — the budget test in tests/test_oracle.py).
+    With ``persist=True`` the ranked window output is cached so batch
+    and rest split one materialization instead of running the window
+    twice (the caller materializes + unpersists — plans/round.py).
     """
     fb = _with_budget(frontier, robots, default_budget)
+    handles: list = []
     if salt and salt > 1:
         # phase 1: per-(host, salt-bucket) partial rank, keep top-B
         wsalt = Window.partitionBy("host", "salt_b").orderBy(*ORDER_COLS)
@@ -51,21 +56,28 @@ def select_batch(
         )
         pre = fb.withColumn("prerank", F.row_number().over(wsalt))
         survivors = pre.filter(F.col("prerank") <= F.col("budget"))
-        losers_p1 = pre.filter(F.col("prerank") > F.col("budget"))
         # phase 2: exact rank among survivors only
         w = Window.partitionBy("host").orderBy(*ORDER_COLS)
         ranked = survivors.withColumn("rank", F.row_number().over(w))
+        if persist:
+            pre = pre.persist()
+            ranked = ranked.persist()
+            handles += [pre, ranked]
         batch = ranked.filter(F.col("rank") <= F.col("budget"))
+        losers_p1 = pre.filter(F.col("prerank") > F.col("budget"))
         losers_p2 = ranked.filter(F.col("rank") > F.col("budget"))
         rest = losers_p1.drop("prerank", "salt_b", "budget").unionByName(
             losers_p2.drop("prerank", "salt_b", "budget", "rank")
         )
-        return batch.drop("prerank", "salt_b"), rest
+        return batch.drop("prerank", "salt_b"), rest, handles
     w = Window.partitionBy("host").orderBy(*ORDER_COLS)
     ranked = fb.withColumn("rank", F.row_number().over(w))
+    if persist:
+        ranked = ranked.persist()
+        handles.append(ranked)
     batch = ranked.filter(F.col("rank") <= F.col("budget"))
     rest = ranked.filter(F.col("rank") > F.col("budget")).drop("rank", "budget")
-    return batch, rest
+    return batch, rest, handles
 
 
 def with_fetch_seq(batch: DataFrame) -> DataFrame:

@@ -51,7 +51,13 @@ class CrawlLoop:
     ):
         self.spark = spark
         self.cfg = cfg
+        # cache the (url, html) projection of pages across rounds: every
+        # round's fetch scans it, and re-decoding 2.6 GB of parquet per
+        # round is pure fixed cost. At the 10^10 design point this is
+        # instead Iceberg bucket pruning — only the batch's url buckets
+        # are read per round (SURVEY.md §4 join-strategy row).
         self.planner = RoundPlanner(spark, cfg, pages, salt=salt)
+        self.planner.pages = self.planner.pages.persist()
         self.store = SnapshotStore(spark, store_root)
         self.partition_metrics = partition_metrics
         self.use_bloom = bloom
@@ -104,7 +110,12 @@ class CrawlLoop:
                 self.spark.sparkContext.broadcast(bloom) if bloom is not None else None
             )
             res = self.planner.run_round(r, frontier, seen, bloom_bc=bloom_bc)
-            extra = {"kind": "round", "log_round": r}
+            t_plan = time.time() - rt0
+            extra = {
+                "kind": "round",
+                "log_round": r,
+                "plan_s": round(t_plan, 2),
+            }
             if self.partition_metrics:
                 extra["frontier_partitions"] = self._part_counts(res.frontier_next)
             man2 = self.store.commit(
@@ -132,3 +143,25 @@ class CrawlLoop:
 
     def crawl_log(self) -> DataFrame | None:
         return self.store.full_crawl_log()
+
+    def saved_pages(self, pages: DataFrame | None = None) -> DataFrame | None:
+        """S3 mirror-write view: pages the @save pipeline admitted.
+
+        The crawl_log's ``saved`` flag is the authoritative mirror
+        index; joining back to ``pages`` re-attaches bodies without
+        ever storing them twice (the store is already the mirror —
+        content-addressed by canonical URL). Link rewriting (E4) is a
+        documented post-v1 extension (SURVEY.md §2.5)."""
+        log = self.store.full_crawl_log()
+        if log is None:
+            return None
+        from pyspark.sql import functions as F
+
+        saved = log.filter(F.col("saved"))
+        if pages is None:
+            return saved
+        return saved.join(
+            pages.select(F.col("url").alias("url_canon"), "html", "text", "lang"),
+            "url_canon",
+            "left",
+        )

@@ -36,6 +36,11 @@ class RoundResult:
     frontier_next: DataFrame
     seen_delta: DataFrame  # ONLY the URLs admitted this round (append)
     persisted: list  # DataFrames to unpersist after the snapshot commit
+    materialize: DataFrame  # deepest cached DF: ONE action on it fills
+    # every cache level (ranked -> fetched -> admitted) so the commit's
+    # concurrent writes are cache-read-only — parallel writers racing to
+    # compute shared cache blocks serialize on block locks and idle the
+    # cluster (measured: local[32] slower than local[8] without this)
 
 
 class RoundPlanner:
@@ -122,13 +127,22 @@ class RoundPlanner:
         # fetch_seq is NOT computed here — parent identity through the
         # round is (host, rank), the same total order; the global
         # sequence materializes only in the crawl_log branch (P5).
-        batch, rest = select_batch(
-            frontier, self.robots_df, cfg.default_budget, self.salt
+        batch, rest, topk_handles = select_batch(
+            frontier, self.robots_df, cfg.default_budget, self.salt, persist=True
         )
 
-        # S2: fetch = left join against pages (keeps 404-analog misses)
+        # S2: fetch = left join against pages (keeps 404-analog misses).
+        # The batch's keys are broadcast as a semi-join pre-filter so the
+        # fat pages table is SCANNED (columnar, pruned to url+html) but
+        # never SHUFFLED — without this the full pages table (html bytes
+        # included) reshuffles every round and dominates the round wall.
+        # At the 10^10 design point the same effect comes from Iceberg
+        # bucket(url) storage-partitioned joins instead of a broadcast
+        # (batch keys stay ≤ hosts x budget, so both paths stay small).
+        batch_keys = F.broadcast(batch.select(F.col("url_canon").alias("p_url")))
+        pages_hit = self.pages.join(batch_keys, "p_url", "left_semi")
         fetched = batch.join(
-            self.pages, batch.url_canon == self.pages.p_url, "left"
+            pages_hit, batch.url_canon == pages_hit.p_url, "left"
         ).drop("p_url")
         fetched = (
             fetched.withColumn(
@@ -235,4 +249,10 @@ class RoundPlanner:
         seen_delta = admitted.select(
             "url_canon", "url_hash", "url_h64", F.lit(r + 1).alias("first_round")
         )
-        return RoundResult(crawl_log, frontier_next, seen_delta, [fetched, admitted])
+        return RoundResult(
+            crawl_log,
+            frontier_next,
+            seen_delta,
+            [*topk_handles, fetched, admitted],
+            materialize=admitted,
+        )

@@ -24,6 +24,16 @@ def build_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cores, 8)
+    # executor Python workers import track0s/track0_spark by module
+    # reference (mapInPandas closures) but do NOT inherit the driver's
+    # sys.path — make the repo root visible via PYTHONPATH so sessions
+    # built from any cwd work. Cluster deploys use --py-files instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -44,3 +54,22 @@ def build_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+#: Crawl-loop session profile. The BSP round loop runs MANY small-to-
+#: medium deterministic jobs; AQE's per-shuffle QueryStage
+#: materialization + re-optimization adds ~1-1.5s latency per stage,
+#: which measured as ~15s/round of pure serial overhead — the Amdahl
+#: term that killed 8->32 scaling. The crawl plans have known shapes
+#: (skew is handled explicitly by salted top-k, joins are hash-
+#: friendly), so: AQE off, shuffled-hash join preferred. Analytics /
+#: contract queries keep the default profile (AQE on).
+CRAWL_PROFILE = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.join.preferSortMergeJoin": "false",
+}
+
+
+def build_crawl_spark(cores: int | None = None, **kw) -> SparkSession:
+    extra = {**CRAWL_PROFILE, **kw.pop("extra", {})}
+    return build_spark(cores=cores, extra=extra, **kw)

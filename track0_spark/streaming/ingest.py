@@ -1,0 +1,79 @@
+"""Structured Streaming page-ingest: incremental extraction over a
+landing directory of page dumps.
+
+The crawl's frontier loop is deliberately batch-BSP (SURVEY.md §3.4 —
+exact replay of crawl ordering is the acceptance bar, and micro-batch
+boundaries are not a reproducible function of the input). Streaming IS
+the right tool one layer down: as new Common-Crawl-style dumps land as
+parquet files, this pipeline incrementally runs the SAME fused
+extraction UDF over only the new files, checkpointing progress, so the
+corpus's text/link side-tables stay current without re-scanning
+history. ``Trigger.AvailableNow`` drains pending files and stops —
+also how the tests drive it deterministically.
+
+Scale posture: ``maxFilesPerTrigger`` bounds micro-batch size;
+per-file lineage comes free from the file-source log; the sink is an
+append-only parquet table partitioned by ingest batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import PAGES
+
+
+def stream_pages(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
+
+
+def text_extraction_stream(pages_stream: DataFrame) -> DataFrame:
+    """(url, text) incrementally, byte-identical to the batch/oracle
+    parser — the same track0s.extract functions via the same UDF."""
+    from ..functions.udfs import extract_text_batches
+
+    return pages_stream.select("url", "html").mapInPandas(
+        extract_text_batches, "url string, text string"
+    )
+
+
+def link_extraction_stream(pages_stream: DataFrame) -> DataFrame:
+    """One row per outlink of each newly landed page (document order),
+    with canonicalized URL — the candidate feed for a future frontier."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import make_extract_candidates
+    from ..schemas import CANDIDATE
+
+    prepared = pages_stream.select(
+        F.col("url").alias("url_canon"),
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("domain_depth"),
+        F.lit(0).alias("rank"),
+        "html",
+    )
+    return prepared.mapInPandas(make_extract_candidates(None), CANDIDATE).select(
+        "url_canon", "host", "src_tag", "src_attr", "is_requisite", "via_url"
+    )
+
+
+def run_available_now(
+    out_stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything pending into the sink, then stop (used by tests
+    and by cron-style incremental ingest jobs)."""
+    q = (
+        out_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
