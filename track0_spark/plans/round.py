@@ -210,26 +210,35 @@ class RoundPlanner:
             )
         ).drop("disallow_prefixes")
 
-        # D1: in-round dedup — deterministic first-discovery-wins;
-        # (via_host, parent_rank) is the parent's fetch order (== seq)
-        wdup = Window.partitionBy("url_canon").orderBy(
-            "via_host", "parent_rank", "link_idx"
+        # D1: in-round dedup — deterministic first-discovery-wins as a
+        # HASH aggregate (min_by over the total order (via_host,
+        # parent_rank, link_idx) — the parent's fetch order), not a
+        # sort+window: partial aggregation combines duplicate URLs
+        # map-side before the shuffle and nothing gets sorted. The key
+        # is unique per discovery, so min_by is deterministic.
+        ordk = F.struct("via_host", "parent_rank", "link_idx")
+        payload_cols = [c for c in cand.columns if c != "url_canon"]
+        cand = (
+            cand.groupBy("url_canon")
+            .agg(F.min_by(F.struct(*payload_cols), ordk).alias("_first"))
+            .select("url_canon", "_first.*")
         )
-        cand = cand.withColumn("dup_rk", F.row_number().over(wdup)).filter(
-            F.col("dup_rk") == 1
-        ).drop("dup_rk")
 
         # D3 + D2: bloom-negative rows are PROVABLY unseen (no false
         # negatives) and skip the join; maybe-seen rows get the exact
         # anti-join — the seen set stays exact either way
+        # SHUFFLE_HASH hint: the anti-join probe side is already
+        # partitioned by url_canon (dedup agg), and hashing the seen
+        # side beats sorting both sides (SMJ) every round
+        seen_keys = seen.select("url_canon").hint("SHUFFLE_HASH")
         if bloom_bc is not None:
             surely_new = cand.filter(~F.col("maybe_seen"))
             maybe = cand.filter(F.col("maybe_seen")).join(
-                seen.select("url_canon"), "url_canon", "left_anti"
+                seen_keys, "url_canon", "left_anti"
             )
             fresh = surely_new.unionByName(maybe)
         else:
-            fresh = cand.join(seen.select("url_canon"), "url_canon", "left_anti")
+            fresh = cand.join(seen_keys, "url_canon", "left_anti")
 
         admitted = (
             fresh.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
