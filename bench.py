@@ -68,12 +68,12 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
     ckpt = tempfile.mkdtemp(prefix=f"bench-ckpt-{cores}-")
     try:
         pages = read_pages(spark, pages_path)
-        # 2-round warm-up on a throwaway store: JIT + codegen + python
+        # 1-round warm-up on a throwaway store: JIT + codegen + python
         # workers; the timed run then measures steady-state throughput
         warm_ckpt = tempfile.mkdtemp(prefix=f"bench-warm-{cores}-")
         CrawlLoop(
             spark, bench_cfg(profile), pages, warm_ckpt, salt=salt
-        ).run(max_rounds=2)
+        ).run(max_rounds=1)
         shutil.rmtree(warm_ckpt, ignore_errors=True)
         loop = CrawlLoop(
             spark, bench_cfg(profile), pages, ckpt, salt=salt, partition_metrics=False
@@ -218,15 +218,21 @@ def main() -> int:
     )
     t_total = time.time()
 
-    # generate (cached) the bench web with a throwaway big session
-    from track0_spark.session import build_spark
-    from track0_spark.sources.webgen_spark import ensure_bench_web
+    # generate (cached) the bench web; skip the session when cached
+    from datagen.webgen import FIXTURE_VERSION
 
-    spark = build_spark(cores=hi, app_name="bench-gen", driver_memory="24g")
-    try:
-        pages_path = ensure_bench_web(spark, profile)
-    finally:
-        spark.stop()
+    pages_path = os.path.join(
+        "data", f"web_{profile.name}_v{FIXTURE_VERSION}_{profile.pages}.parquet"
+    )
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        from track0_spark.session import build_spark
+        from track0_spark.sources.webgen_spark import ensure_bench_web
+
+        spark = build_spark(cores=peak, app_name="bench-gen", driver_memory="24g")
+        try:
+            pages_path = ensure_bench_web(spark, profile)
+        finally:
+            spark.stop()
 
     def best_of(cores: int, trials: int) -> dict:
         """Best of N trials per level: the hypervisor's bursty CPU steal
@@ -258,7 +264,8 @@ def main() -> int:
                 / ratio,
                 3,
             )
-    write_baseline_md(crawl_results, eff, eff_sat, profile)
+    if not quick:  # quick mode must not clobber the real baseline doc
+        write_baseline_md(crawl_results, eff, eff_sat, profile)
 
     queries = run_queries(sf_dir, peak)
 
