@@ -22,17 +22,23 @@ from track0s.canon import canonicalize, host_of, path_of, scheme_of
 from track0s.extract import decode_html, parse_html
 
 #: input columns the extract pass needs (column-pruned before the UDF).
-#: parent identity is (host, rank) — the same total order as fetch_seq
-#: (seq = host-offset + rank - 1 with offsets monotone in host), so the
-#: global-sequence machinery stays OUT of the extraction hot path.
+#: ``fetch_seq`` is the parent's global fetch order (a per-host-offset
+#: broadcast join, operators/topk.py) — one BIGINT that totally orders
+#: parents, so in-round dedup can hash-aggregate over a packed primitive
+#: key instead of sort-aggregating over a (via_host, rank, idx) struct.
 EXTRACT_INPUT_COLS = [
     "url_canon",
     "host",
     "depth",
     "domain_depth",
-    "rank",
+    "fetch_seq",
     "html",
 ]
+
+#: link_idx bits in the packed dedup order key (plans/round.py D1):
+#: _ord = parent_seq << LINK_IDX_BITS | link_idx. The extractor asserts
+#: pages stay under 2^20 links so the pack is collision-free.
+LINK_IDX_BITS = 20
 
 
 def make_extract_candidates(bloom=None):
@@ -78,7 +84,7 @@ def _extract_candidates_batches(
         "src_tag": object,
         "src_attr": object,
         "is_requisite": bool,
-        "parent_rank": "int32",
+        "parent_seq": "int64",
         "link_idx": "int32",
         "via_url": object,
         "via_host": object,
@@ -88,15 +94,20 @@ def _extract_candidates_batches(
     cols = list(dtypes)
     for pdf in batches:
         out: dict[str, list] = {c: [] for c in cols}
-        for url, host, depth, dd, rank, html in zip(
+        for url, host, depth, dd, seq, html in zip(
             pdf["url_canon"],
             pdf["host"],
             pdf["depth"],
             pdf["domain_depth"],
-            pdf["rank"],
+            pdf["fetch_seq"],
             pdf["html"],
         ):
             links, _ = parse_html(url, decode_html(bytes(html)))
+            if len(links) >= (1 << LINK_IDX_BITS):  # keep _ord pack unique
+                raise ValueError(
+                    f"{url}: {len(links)} links exceeds the 2^{LINK_IDX_BITS}"
+                    " packed-dedup-key bound (plans/round.py D1)"
+                )
             for idx, link in enumerate(links):
                 uc = canonicalize(link.url)
                 out["url_canon"].append(uc)
@@ -106,7 +117,7 @@ def _extract_candidates_batches(
                 out["src_tag"].append(link.tag)
                 out["src_attr"].append(link.attr)
                 out["is_requisite"].append(link.is_requisite)
-                out["parent_rank"].append(int(rank))
+                out["parent_seq"].append(int(seq))
                 out["link_idx"].append(idx)
                 out["via_url"].append(url)
                 out["via_host"].append(host)

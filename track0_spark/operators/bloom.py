@@ -10,11 +10,15 @@ the next round — so exactness is preserved by construction, and pytest
 asserts gate-on == gate-off output.
 
 Layout: NB bucket bitmaps indexed by ``hash % NB`` — the partitioned
-structure of BASELINE.json:14. In the sandbox the buckets live in one
-driver-held numpy array broadcast to executors (frontier ≤ 10^6); at
-the 10^10 design point each bucket is built per seen-partition with
-``applyInPandas`` and co-located with its url_hash bucket so probe and
-join never shuffle (SURVEY.md §4 bloom-gating row).
+structure of BASELINE.json:14. The full structure is built
+DISTRIBUTED: ``build_bloom_distributed`` groups the seen table by
+bucket and computes each bucket's bitmap in an ``applyInPandas`` task
+(bit-identical to the incremental driver path — pytest asserts it);
+the driver only assembles the finished ~KB-sized bitmaps. Per-round
+maintenance stays incremental (O(round delta), never O(total seen)).
+At the 10^10 design point the same per-bucket tasks write their
+bitmaps next to their url_hash storage bucket so probe and join stay
+co-located instead of broadcasting (SURVEY.md §4 bloom-gating row).
 
 Keys are ``track0s.hashing.h64`` values (pure Python, computable inside
 the fused extract UDF) — deliberately NOT Spark's xxhash64, which is
@@ -28,6 +32,30 @@ import numpy as np
 
 #: mask to keep driver/UDF hash values in signed-int64 range for Arrow
 H64_MASK = 0x7FFF_FFFF_FFFF_FFFF
+
+
+def bucket_bitmap(keys: np.ndarray, bucket_bits: int, n_hashes: int) -> np.ndarray:
+    """One bucket's bitmap for the given keys (uint8 bytes).
+
+    The single shared kernel: ``PartitionedBloom.add_many`` and the
+    distributed ``applyInPandas`` builder both OR these exact bytes, so
+    incremental and distributed builds are bit-identical by construction.
+    Bit positions depend only on the key (Kirsch-Mitzenmacher double
+    hashing), never on which bucket the key routes to.
+    """
+    out = np.zeros(bucket_bits // 8, dtype=np.uint8)
+    if len(keys) == 0:
+        return out
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    h1 = (k >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
+    h2 = (k & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd -> full period
+    mask = np.uint64(bucket_bits - 1)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        np.bitwise_or.at(out, byte_idx, bit)
+    return out
 
 
 class PartitionedBloom:
@@ -61,12 +89,16 @@ class PartitionedBloom:
     def add_many(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
-        buckets, pos = self._positions(np.asarray(keys, dtype=np.int64))
-        for i in range(self.n_hashes):
-            byte_idx = (pos[i] >> np.uint64(3)).astype(np.int64)
-            bit = (np.uint8(1) << (pos[i] & np.uint64(7)).astype(np.uint8))
-            # np.bitwise_or.at handles duplicate (bucket, byte) indices
-            np.bitwise_or.at(self.bits, (buckets, byte_idx), bit)
+        keys = np.asarray(keys, dtype=np.int64)
+        buckets = (keys.astype(np.uint64) % np.uint64(self.n_buckets)).astype(
+            np.int64
+        )
+        # route through the shared bucket_bitmap kernel (≤ n_buckets
+        # iterations) so incremental adds == distributed builds, bit for bit
+        for b in np.unique(buckets):
+            self.bits[b] |= bucket_bitmap(
+                keys[buckets == b], self.bucket_bits, self.n_hashes
+            )
         self.n_keys += len(keys)
 
     def might_contain_many(self, keys: np.ndarray) -> np.ndarray:
@@ -82,3 +114,53 @@ class PartitionedBloom:
 
     def fill_ratio(self) -> float:
         return float(np.unpackbits(self.bits).mean())
+
+
+def build_bloom_distributed(
+    seen_df,
+    expected_keys: int = 2_000_000,
+    bits_per_key: int = 12,
+    n_buckets: int = 64,
+    n_hashes: int = 7,
+) -> PartitionedBloom:
+    """Build the PartitionedBloom with one Spark job over the seen table.
+
+    Each bucket's bitmap is computed executor-side by an
+    ``applyInPandas`` task over that bucket's keys (``url_h64 % NB`` —
+    the same routing ``add_many`` uses); the driver receives only the
+    finished bitmaps (n_buckets rows of bucket_bits/8 bytes, a few MB
+    total) plus per-bucket key counts. No full-seen driver read: the
+    keys never leave the executors. Resume therefore costs one
+    distributed pass over the seen snapshot instead of a driver-side
+    pyarrow read of every delta (VERDICT.md round 1, "What's wrong" #4).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    proto = PartitionedBloom(expected_keys, bits_per_key, n_buckets, n_hashes)
+    bucket_bits, nh = proto.bucket_bits, n_hashes
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_h64"].to_numpy(dtype=np.int64)
+        bits = bucket_bitmap(keys, bucket_bits, nh)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "n_keys": [len(keys)],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    rows = (
+        seen_df.select(
+            (F.col("url_h64") % F.lit(n_buckets)).cast("int").alias("bucket"),
+            "url_h64",
+        )
+        .groupBy("bucket")
+        .applyInPandas(build, "bucket int, n_keys long, bits binary")
+        .collect()
+    )
+    for r in rows:
+        proto.bits[r["bucket"]] = np.frombuffer(bytes(r["bits"]), dtype=np.uint8)
+        proto.n_keys += r["n_keys"]
+    return proto

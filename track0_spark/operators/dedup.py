@@ -189,10 +189,20 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_perm: int = 64,
     bands: int = 16,
+    handles: list | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash LSH near-dup pairs >= threshold (estimated)."""
+    """End-to-end MinHash LSH near-dup pairs >= threshold (estimated).
+
+    The signature DataFrame is persisted (read 3x: band explode + both
+    sides of the similarity join). Pass ``handles`` to receive the
+    persisted DF and unpersist it once the result is materialized —
+    otherwise the cache lives until the session ends (fine for one-shot
+    jobs, a leak in long-lived sessions; same pattern as
+    operators/topk.select_batch)."""
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm).persist()
+    if handles is not None:
+        handles.append(sig)
     pairs = lsh_candidate_pairs(sig, bands, rows)
     est = minhash_estimated_similarity(sig, pairs)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -240,14 +250,39 @@ def simhash_udf_batches(id_col: str, text_col: str):
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    handles: list | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banded Hamming join: 4 x 16-bit bands
-    guarantee recall for distance <= 3 (pigeonhole)."""
+    """Near-dup pairs by SimHash banded Hamming join.
+
+    RECALL BOUND: 4 x 16-bit bands guarantee full recall only for
+    Hamming distance <= 3 (pigeonhole: any 4-band split of <=3 flipped
+    bits leaves one band intact). Callers asking for ``max_hamming > 3``
+    get correct-as-computed but PARTIAL results — pairs differing in all
+    four bands are invisible to the join. Guaranteed recall at higher
+    distances needs more/narrower bands (b bands of 64/b bits cover
+    d <= b-1).
+
+    ``handles`` receives the persisted signature DF for caller-managed
+    unpersist (see minhash_dedup_pairs)."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs(max_hamming={max_hamming}): 4x16-bit "
+            "banding guarantees recall only to distance 3; results above "
+            "that are best-effort",
+            stacklevel=2,
+        )
     sig = df.mapInPandas(
         simhash_udf_batches(id_col, text_col),
         f"id {_spark_type(df, id_col)}, simhash bigint",
     ).persist()
+    if handles is not None:
+        handles.append(sig)
     bands = F.array(
         *[
             F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))

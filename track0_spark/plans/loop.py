@@ -64,14 +64,20 @@ class CrawlLoop:
         self.bloom_expected_keys = bloom_expected_keys
 
     def _build_bloom(self, upto_round: int):
-        """(Re)build the partitioned bloom from committed seen deltas —
-        pure function of the store, so resume gets the identical gate."""
-        from ..operators.bloom import PartitionedBloom
+        """(Re)build the partitioned bloom from the committed seen
+        snapshot — pure function of the store, so resume gets the
+        identical gate. Built DISTRIBUTED (one applyInPandas job over
+        the seen table, per-bucket bitmaps computed executor-side);
+        bit-identical to incrementally adding every delta driver-side
+        (shared bucket_bitmap kernel; asserted in tests/test_bloom.py).
+        Per-round maintenance stays the O(delta) incremental add in
+        ``run``."""
+        from ..operators.bloom import build_bloom_distributed
 
-        b = PartitionedBloom(expected_keys=self.bloom_expected_keys)
-        for rr in range(upto_round + 1):
-            b.add_many(self.store.read_delta_column(rr, "url_h64"))
-        return b
+        return build_bloom_distributed(
+            self.store.load_seen(upto_round).select("url_h64"),
+            expected_keys=self.bloom_expected_keys,
+        )
 
     def _part_counts(self, df: DataFrame) -> list:
         rows = (

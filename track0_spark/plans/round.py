@@ -25,7 +25,11 @@ from track0s.rules import DEFAULTS
 
 from ..functions.exprs import content_type_expr, is_html_expr, url_hash_expr
 from ..functions.rules_compile import compile_rules
-from ..functions.udfs import EXTRACT_INPUT_COLS, make_extract_candidates
+from ..functions.udfs import (
+    EXTRACT_INPUT_COLS,
+    LINK_IDX_BITS,
+    make_extract_candidates,
+)
 from ..operators.topk import select_batch, with_fetch_seq
 from ..schemas import CANDIDATE, CRAWL_LOG, FRONTIER, ROBOTS, SEEN
 
@@ -124,12 +128,14 @@ class RoundPlanner:
         cfg = self.cfg
 
         # P1-P4: per-host politeness ranking on skinny frontier columns.
-        # fetch_seq is NOT computed here — parent identity through the
-        # round is (host, rank), the same total order; the global
-        # sequence materializes only in the crawl_log branch (P5).
+        # P5: fetch_seq lands here too — per-host offsets are a tiny
+        # broadcast join over the ranked cache, and carrying the global
+        # sequence as ONE BIGINT is what lets in-round dedup (D1 below)
+        # hash-aggregate over a packed primitive key.
         batch, rest, topk_handles = select_batch(
             frontier, self.robots_df, cfg.default_budget, self.salt, persist=True
         )
+        batch = with_fetch_seq(batch)
 
         # S2: fetch = left join against pages (keeps 404-analog misses).
         # The batch's keys are broadcast as a semi-join pre-filter so the
@@ -140,7 +146,12 @@ class RoundPlanner:
         # bucket(url) storage-partitioned joins instead of a broadcast
         # (batch keys stay ≤ hosts x budget, so both paths stay small).
         batch_keys = F.broadcast(batch.select(F.col("url_canon").alias("p_url")))
-        pages_hit = self.pages.join(batch_keys, "p_url", "left_semi")
+        # SHUFFLE_HASH: hash the (semi-join-filtered, ≈batch-sized) pages
+        # side instead of sort-merge — sorting rows that carry html bytes
+        # is the worst possible plan for this join
+        pages_hit = self.pages.join(batch_keys, "p_url", "left_semi").hint(
+            "SHUFFLE_HASH"
+        )
         fetched = batch.join(
             pages_hit, batch.url_canon == pages_hit.p_url, "left"
         ).drop("p_url")
@@ -159,9 +170,7 @@ class RoundPlanner:
         # the window+join+fetch lineage executes once, not three times
         fetched = fetched.persist()
 
-        # P5: global deterministic fetch sequence — only this sink pays
-        # for the per-host offset computation (operators/topk.py)
-        crawl_log = with_fetch_seq(fetched).select(
+        crawl_log = fetched.select(
             F.lit(r).alias("round"),
             "fetch_seq",
             "url_canon",
@@ -209,19 +218,34 @@ class RoundPlanner:
                 "disallow_prefixes", lambda p: F.col("path").startswith(p)
             )
         ).drop("disallow_prefixes")
+        # D1's min+join-back reads the candidate set twice; cache it so
+        # the extraction UDF (the round's expensive Python pass) runs once
+        cand_cached = cand.persist()
+        cand = cand_cached
 
         # D1: in-round dedup — deterministic first-discovery-wins as a
-        # HASH aggregate (min_by over the total order (via_host,
-        # parent_rank, link_idx) — the parent's fetch order), not a
-        # sort+window: partial aggregation combines duplicate URLs
-        # map-side before the shuffle and nothing gets sorted. The key
-        # is unique per discovery, so min_by is deterministic.
-        ordk = F.struct("via_host", "parent_rank", "link_idx")
-        payload_cols = [c for c in cand.columns if c != "url_canon"]
-        cand = (
+        # real HASH aggregate. The discovery order is the single BIGINT
+        # _ord = parent_fetch_seq << 20 | link_idx (unique per candidate;
+        # the extractor asserts <2^20 links/page). min(_ord) per url is a
+        # HashAggregate with map-side partial combine (min_by over any
+        # string/struct payload compiles to SortAggregate in Spark —
+        # measured, see PLANS.md), and the winner row comes back via an
+        # equi-join on url_canon alone so the output stays hash-partitioned
+        # by url_canon for the seen anti-join below — no extra shuffle.
+        cand = cand.withColumn(
+            "_ord",
+            F.shiftleft(F.col("parent_seq"), LINK_IDX_BITS)
+            + F.col("link_idx").cast("long"),
+        )
+        firsts = (
             cand.groupBy("url_canon")
-            .agg(F.min_by(F.struct(*payload_cols), ordk).alias("_first"))
-            .select("url_canon", "_first.*")
+            .agg(F.min("_ord").alias("_min_ord"))
+            .hint("SHUFFLE_HASH")  # build the narrow (url, min) side
+        )
+        cand = (
+            cand.join(firsts, "url_canon")
+            .filter(F.col("_ord") == F.col("_min_ord"))
+            .drop("_ord", "_min_ord")
         )
 
         # D3 + D2: bloom-negative rows are PROVABLY unseen (no false
@@ -262,6 +286,6 @@ class RoundPlanner:
             crawl_log,
             frontier_next,
             seen_delta,
-            [*topk_handles, fetched, admitted],
+            [*topk_handles, fetched, cand_cached, admitted],
             materialize=admitted,
         )

@@ -69,7 +69,7 @@ CANDIDATE = T.StructType(
         T.StructField("src_tag", T.StringType()),
         T.StructField("src_attr", T.StringType()),
         T.StructField("is_requisite", T.BooleanType()),
-        T.StructField("parent_rank", T.IntegerType()),
+        T.StructField("parent_seq", T.LongType()),  # parent's global fetch_seq
         T.StructField("link_idx", T.IntegerType()),
         T.StructField("via_url", T.StringType()),
         T.StructField("via_host", T.StringType()),

@@ -138,11 +138,21 @@ class SnapshotStore:
         return self.spark.read.parquet(os.path.join(self._dir(rnd), "frontier"))
 
     def load_seen(self, rnd: int) -> DataFrame:
-        """Seen state at round rnd = union of deltas 0..rnd."""
+        """Seen state at round rnd = union of deltas 0..rnd.
+
+        Every committed round writes a seen_delta dir (possibly empty of
+        rows, never absent) — a missing dir means a hole in the store
+        (manual deletion, partial copy) and silently skipping it would
+        shrink the seen set and re-admit crawled URLs, so FAIL LOUDLY."""
         paths = [
             os.path.join(self._dir(r), "seen_delta") for r in range(rnd + 1)
         ]
-        paths = [p for p in paths if os.path.exists(p)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"seen store is torn: missing delta dirs {missing[:3]}"
+                f"{' …' if len(missing) > 3 else ''} for rounds <= {rnd}"
+            )
         return self.spark.read.parquet(*paths)
 
     def read_delta_column(self, rnd: int, column: str):
@@ -153,7 +163,11 @@ class SnapshotStore:
 
         path = os.path.join(self._dir(rnd), "seen_delta")
         if not os.path.exists(path):
-            return np.zeros(0, dtype=np.int64)
+            # same torn-store contract as load_seen: committed rounds
+            # always have the dir (an empty delta still writes one)
+            raise FileNotFoundError(
+                f"seen store is torn: round {rnd} has no seen_delta dir"
+            )
         files = _glob.glob(os.path.join(path, "*.parquet"))
         if not files:
             return np.zeros(0, dtype=np.int64)

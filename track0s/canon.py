@@ -86,11 +86,22 @@ def _remove_dot_segments(path: str) -> str:
 
 
 def canonicalize(url: str) -> str:
-    """Canonical form of an absolute URL. Pure, total, deterministic."""
+    """Canonical form of an absolute URL. Pure, total, deterministic.
+
+    Idempotent: the fragment is dropped *before* whitespace trimming, so a
+    trailing fragment cannot shield inner trailing whitespace from the trim
+    (counterexample that broke v1: ``'0 #'`` -> ``'0 '`` -> ``'0'``; now
+    ``'0 #'`` -> ``'0'`` directly). The ValueError path returns the same
+    pre-processed string, so it is a fixpoint too.
+    """
+    s = url.strip()
+    i = s.find("#")
+    if i != -1:
+        s = s[:i].strip()
     try:
-        parts = urlsplit(url.strip())
+        parts = urlsplit(s)
     except ValueError:
-        return url.strip()
+        return s
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
     port = parts.port
