@@ -55,7 +55,7 @@ def link_extraction_stream(pages_stream: DataFrame) -> DataFrame:
         F.expr("parse_url(url, 'HOST')").alias("host"),
         F.lit(0).alias("depth"),
         F.lit(0).alias("domain_depth"),
-        F.lit(0).alias("rank"),
+        F.lit(0).cast("long").alias("fetch_seq"),
         "html",
     )
     return prepared.mapInPandas(make_extract_candidates(None), CANDIDATE).select(
