@@ -35,7 +35,13 @@ VOCAB = (
     "whiskey xray yankee zulu data spark crawl frontier page link"
 ).split()
 
-FIXTURE_VERSION = 1  # bump when the html template or graph rule changes
+FIXTURE_VERSION = 2  # bump when the html template or graph rule changes
+# v2: ~9% of pages (h64(url,'redir') % 11 == 3) are meta-refresh redirect
+# pages (one target, same-host relative or cross-host absolute, never a
+# redirect chain longer than the graph allows); ~6% of content pages
+# (h64(url,'ctype') % 17 == 5) declare an in-band content-type of
+# text/plain that DISAGREES with their extension-derived text/html —
+# exercising header-over-extension @save semantics (track0s/http.py).
 
 
 @dataclass(frozen=True)
@@ -78,11 +84,39 @@ def _words(url: str, k: int = 12) -> str:
     return " ".join(VOCAB[h64(url, f"w{n}") % len(VOCAB)] for n in range(k))
 
 
+def is_redirect_page(url: str) -> bool:
+    return h64(url, "redir") % 11 == 3
+
+
+def redirect_target_of(
+    url: str, host_idx: int, sizes: list[int]
+) -> str:
+    """Deterministic meta-refresh target: ~25% cross-host absolute,
+    else same-host (relative half the time)."""
+    hsize = sizes[host_idx]
+    nhosts = len(sizes)
+    if nhosts > 1 and h64(url, "rx") % 4 == 0:
+        ti = h64(url, "rth") % nhosts
+        return page_url(ti, h64(url, "rtp") % sizes[ti])
+    tj = h64(url, "rt") % hsize
+    if h64(url, "rrel") % 2 == 0:
+        return f"/p/{tj}"  # relative target (resolved at fetch)
+    return page_url(host_idx, tj)
+
+
 def page_html(
     host_idx: int, page_idx: int, sizes: list[int], profile: WebProfile
 ) -> bytes:
-    """Frozen html template (FIXTURES.md §2). Pure function of the URL."""
+    """Frozen html template (FIXTURES.md §2, v2). Pure function of the URL."""
     url = page_url(host_idx, page_idx)
+    if is_redirect_page(url):
+        target = redirect_target_of(url, host_idx, sizes)
+        html = (
+            '<html><head><meta http-equiv="refresh" '
+            f'content="0; url={target}"></head>'
+            "<body>moved</body></html>"
+        )
+        return html.encode("utf-8")
     hsize = sizes[host_idx]
     nhosts = len(sizes)
     tags: list[str] = []
@@ -105,8 +139,14 @@ def page_html(
         tags.append(f'<img src="/static/{h64(url, "img") % 1000}.png">')
         tags.append('<link href="/static/site.css" rel="stylesheet">')
     body = f"<p>{_words(url, profile.n_words)}</p>" + "".join(tags)
+    ctype_meta = (
+        '<meta http-equiv="content-type" content="text/plain">'
+        if h64(url, "ctype") % 17 == 5
+        else ""
+    )
     html = (
-        f'<html><head><meta charset="utf-8"><title>T{h64(url, "t") % 10**8}'
+        f'<html><head><meta charset="utf-8">{ctype_meta}'
+        f'<title>T{h64(url, "t") % 10**8}'
         f"</title></head><body>{body}</body></html>"
     )
     return html.encode("utf-8")

@@ -23,9 +23,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from urllib.parse import urljoin
+
 from track0s import canon, mime
 from track0s.config import CrawlConfig, priority_of
 from track0s.extract import parse_html, decode_html
+from track0s.http import header_content_type, redirect_target
 from track0s.rules import evaluate
 
 
@@ -60,7 +63,12 @@ class LinkState:
         return (self.priority, self.depth, self.discovered_round, self.url_canon)
 
 
-def link_attrs(ls: LinkState, cfg: CrawlConfig, size: int | None = None) -> dict:
+def link_attrs(
+    ls: LinkState,
+    cfg: CrawlConfig,
+    size: int | None = None,
+    content_type: str | None = None,
+) -> dict:
     path = canon.path_of(ls.url_canon)
     return {
         "url_canon": ls.url_canon,
@@ -72,7 +80,9 @@ def link_attrs(ls: LinkState, cfg: CrawlConfig, size: int | None = None) -> dict
         "via_host": ls.via_host,
         "is_requisite": ls.is_requisite,
         "src_tag": ls.src_tag,
-        "content_type": mime.content_type_for(path),
+        # post-fetch the in-band header declaration (track0s/http.py)
+        # overrides the pre-fetch extension guess — R8 header semantics
+        "content_type": content_type or mime.content_type_for(path),
         "size": size,
         "seed_hosts": cfg.seed_hosts,
         "seed_prefixes": cfg.seed_prefixes,
@@ -123,9 +133,16 @@ class OracleSpider:
         for seq, ls in enumerate(batch):
             del self.frontier[ls.url_canon]
             page = self.store.get(ls.url_canon)
-            status = 200 if page is not None else 404
+            if page is None:
+                status, redir, ctype = 404, None, None
+            else:
+                # in-band HTTP analogs (track0s/http.py): meta-refresh
+                # -> 301; meta content-type overrides the extension guess
+                redir = redirect_target(page.html)
+                status = 301 if redir else 200
+                ctype = header_content_type(page.html)
             size = len(page.html) if page else None
-            attrs = link_attrs(ls, cfg, size)
+            attrs = link_attrs(ls, cfg, size, content_type=ctype)
             saved = status == 200 and evaluate(cfg.save, attrs, True)
             stop = evaluate(cfg.stop, attrs, False)
             self.crawl_log.append(
@@ -143,6 +160,26 @@ class OracleSpider:
                 }
             )
             if stop or page is None:
+                continue
+            if status == 301:
+                # redirect resolution: ONE candidate at the SAME depth
+                # (a redirect is not a hop); passes the normal follow +
+                # robots + dedup gates like any discovered link
+                u = canon.canonicalize(urljoin(ls.url_canon, redir))
+                h = canon.host_of(u)
+                child = LinkState(
+                    url_canon=u,
+                    host=h,
+                    depth=ls.depth,
+                    domain_depth=(ls.domain_depth if h == ls.host else 0),
+                    via_url=ls.url_canon,
+                    via_host=ls.host,
+                    src_tag="meta",
+                    src_attr="refresh",
+                    is_requisite=False,
+                    discovered_round=r + 1,
+                )
+                self._gate_and_admit(child, new_cands)
                 continue
             if not mime.is_html(attrs["content_type"]):
                 continue
@@ -163,14 +200,21 @@ class OracleSpider:
                     is_requisite=link.is_requisite,
                     discovered_round=r + 1,
                 )
-                if u in self.seen or u in new_cands:
-                    continue  # seen anti-join + in-round first-wins dedup
-                cattrs = link_attrs(child, cfg)
-                if not evaluate(cfg.follow, cattrs, False):
-                    continue
-                if not cfg.robots.allowed(child.host, cattrs["path"]):
-                    continue
-                new_cands[u] = child
+                self._gate_and_admit(child, new_cands)
         for u, child in new_cands.items():
             self.seen.add(u)
             self.frontier[u] = child
+
+    def _gate_and_admit(
+        self, child: LinkState, new_cands: dict[str, LinkState]
+    ) -> None:
+        """seen anti-join + in-round first-wins dedup + follow + robots."""
+        u = child.url_canon
+        if u in self.seen or u in new_cands:
+            return
+        cattrs = link_attrs(child, self.cfg)
+        if not evaluate(self.cfg.follow, cattrs, False):
+            return
+        if not self.cfg.robots.allowed(child.host, cattrs["path"]):
+            return
+        new_cands[u] = child

@@ -1,0 +1,89 @@
+"""In-band HTTP analogs (redirects, header content-type): pure fns,
+native-expr equivalence, and end-to-end redirect semantics."""
+
+from pyspark.sql import functions as F
+
+from track0s.http import header_content_type, redirect_target
+
+
+def test_redirect_target_pure():
+    html = (
+        b'<html><head><meta http-equiv="refresh" '
+        b'content="0; url=/p/7"></head><body>moved</body></html>'
+    )
+    assert redirect_target(html) == "/p/7"
+    assert redirect_target(b"<html><body>hi</body></html>") is None
+    # absolute target, single quotes, case-insensitive
+    assert (
+        redirect_target(
+            b"<META HTTP-EQUIV='Refresh' CONTENT='5; url=http://x.test/a'>"
+        )
+        == "http://x.test/a"
+    )
+
+
+def test_header_content_type_pure():
+    assert (
+        header_content_type(
+            b'<meta http-equiv="content-type" content="text/plain">'
+        )
+        == "text/plain"
+    )
+    assert header_content_type(b'<meta charset="utf-8">') is None
+    assert (
+        header_content_type(
+            b'<meta http-equiv="Content-Type" content="TEXT/HTML; charset=x">'
+        )
+        == "text/html"
+    )
+
+
+def test_native_exprs_match_pure(spark):
+    """The Spark regexp twins agree with track0s.http on the whole
+    fixture corpus (every sf-unit page, redirect and content pages)."""
+    from datagen import webgen
+    from track0_spark.functions.exprs import (
+        header_content_type_expr,
+        redirect_target_expr,
+    )
+
+    rows = webgen.gen_pages(webgen.SF_UNIT)
+    df = spark.createDataFrame(
+        [(r["url"], r["html"]) for r in rows], "url string, html binary"
+    )
+    got = {
+        r["url"]: (r["redir"], r["ct"])
+        for r in df.select(
+            "url",
+            redirect_target_expr(F.col("html")).alias("redir"),
+            header_content_type_expr(F.col("html")).alias("ct"),
+        ).collect()
+    }
+    n_redir = 0
+    for r in rows:
+        exp = (redirect_target(r["html"]), header_content_type(r["html"]))
+        assert got[r["url"]] == exp, r["url"]
+        n_redir += exp[0] is not None
+    assert n_redir > 0  # fixture v2 actually contains redirects
+    assert any(ct == "text/plain" for _, ct in got.values())
+
+
+def test_header_overrides_extension_in_save(spark):
+    """R8 header semantics: a page whose in-band type disagrees with its
+    extension is saved by its HEADER type (oracle + engine agree via the
+    crawl-equivalence suite; here: the mime attr the rules see)."""
+    from track0s import mime
+    from datagen import webgen
+
+    rows = webgen.gen_pages(webgen.SF_UNIT)
+    overridden = [
+        r
+        for r in rows
+        if header_content_type(r["html"]) == "text/plain"
+    ]
+    assert overridden, "fixture must contain disagreeing pages"
+    for r in overridden:
+        # extension says text/html, header says text/plain
+        from track0s.canon import path_of
+
+        assert mime.content_type_for(path_of(r["url"])) == "text/html"

@@ -156,4 +156,15 @@ def test_sf_unit_crawl_is_deterministic_and_nontrivial():
     assert seen1 == seen2
     assert len(log1) > 20
     statuses = {r["status"] for r in log1}
-    assert statuses == {200, 404}  # requisite misses exercised
+    # requisite misses AND meta-refresh redirects exercised (fixture v2)
+    assert statuses == {200, 404, 301}
+    redirected = [r for r in log1 if r["status"] == 301]
+    assert all(not r["saved"] for r in redirected)
+    # a redirect target was admitted at the SAME depth as its source
+    by_via = {r["via_url"]: r for r in log1 if r["via_url"]}
+    for r in redirected:
+        child = next(
+            (c for c in log1 if c["via_url"] == r["url_canon"]), None
+        )
+        if child is not None:
+            assert child["depth"] == r["depth"]

@@ -1,9 +1,11 @@
 """Native Column expressions shared by the round plan (no UDFs).
 
 ``content_type_expr`` mirrors ``track0s.mime.content_type_for`` exactly
-(same frozen EXT_MIME table, same last-segment extension regexp) so the
-``content-type`` rule test agrees between the oracle and the compiled
-Column pipeline.
+(same frozen EXT_MIME table, same last-segment extension regexp);
+``redirect_target_expr`` / ``header_content_type_expr`` mirror
+``track0s.http`` (same SNIFF_BYTES window, same patterns) so redirect
+detection and the content-type override agree between the oracle and
+the compiled Column pipeline.
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ from itertools import chain
 
 from pyspark.sql import Column, functions as F
 
+from track0s.http import CONTENT_TYPE_PATTERN, REDIRECT_PATTERN, SNIFF_BYTES
 from track0s.mime import DEFAULT_MIME, EXT_MIME
 
 #: extension of the last path segment — matches mime.ext_of_path
@@ -36,3 +39,23 @@ def is_html_expr(content_type_col: Column) -> Column:
 def url_hash_expr(url_canon_col: Column) -> Column:
     """Bucketing/salting hash (never an ordering key — SURVEY.md §4)."""
     return F.xxhash64(url_canon_col)
+
+
+def _head_expr(html_col: Column) -> Column:
+    """First SNIFF_BYTES of the body, UTF-8-with-replacement — the same
+    window ``track0s.http._head`` reads."""
+    return F.decode(F.substring(html_col, 1, SNIFF_BYTES), "UTF-8")
+
+
+def redirect_target_expr(html_col: Column) -> Column:
+    """Raw meta-refresh target; NULL when not a redirect (or body NULL).
+    Native twin of ``track0s.http.redirect_target``."""
+    t = F.regexp_extract(_head_expr(html_col), REDIRECT_PATTERN, 1)
+    return F.when(html_col.isNotNull() & (t != ""), t)
+
+
+def header_content_type_expr(html_col: Column) -> Column:
+    """In-band declared content-type (lowercased); NULL when absent.
+    Native twin of ``track0s.http.header_content_type``."""
+    t = F.regexp_extract(_head_expr(html_col), CONTENT_TYPE_PATTERN, 1)
+    return F.when(html_col.isNotNull() & (t != ""), F.lower(t))

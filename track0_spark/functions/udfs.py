@@ -32,6 +32,7 @@ EXTRACT_INPUT_COLS = [
     "depth",
     "domain_depth",
     "fetch_seq",
+    "status",
     "html",
 ]
 
@@ -75,7 +76,17 @@ def make_extract_candidates(bloom=None):
 def _extract_candidates_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """(parent page rows) -> (one row per extracted link), document order."""
+    """(parent page rows) -> (one row per extracted link), document order.
+
+    Parents with status 301 (decided NATIVELY by redirect_target_expr —
+    this pass only reads the verdict) emit exactly ONE candidate: the
+    urljoin-resolved meta-refresh target, tagged is_redirect so depth
+    propagation skips the +1 (a redirect is not a hop; track0s/http.py).
+    """
+    from urllib.parse import urljoin
+
+    from track0s.http import redirect_target
+
     dtypes = {
         "url_canon": object,
         "host": object,
@@ -90,18 +101,44 @@ def _extract_candidates_batches(
         "via_host": object,
         "parent_depth": "int32",
         "parent_domain_depth": "int32",
+        "is_redirect": bool,
     }
     cols = list(dtypes)
     for pdf in batches:
         out: dict[str, list] = {c: [] for c in cols}
-        for url, host, depth, dd, seq, html in zip(
+
+        def emit(uc, tag, attr, req, seq, idx, url, host, depth, dd, redir):
+            out["url_canon"].append(uc)
+            out["host"].append(host_of(uc))
+            out["path"].append(path_of(uc))
+            out["protocol"].append(scheme_of(uc))
+            out["src_tag"].append(tag)
+            out["src_attr"].append(attr)
+            out["is_requisite"].append(req)
+            out["parent_seq"].append(int(seq))
+            out["link_idx"].append(idx)
+            out["via_url"].append(url)
+            out["via_host"].append(host)
+            out["parent_depth"].append(int(depth))
+            out["parent_domain_depth"].append(int(dd))
+            out["is_redirect"].append(redir)
+
+        for url, host, depth, dd, seq, status, html in zip(
             pdf["url_canon"],
             pdf["host"],
             pdf["depth"],
             pdf["domain_depth"],
             pdf["fetch_seq"],
+            pdf["status"],
             pdf["html"],
         ):
+            if status == 301:
+                target = redirect_target(bytes(html))
+                if target is not None:
+                    uc = canonicalize(urljoin(url, target))
+                    emit(uc, "meta", "refresh", False, seq, 0,
+                         url, host, depth, dd, True)
+                continue
             links, _ = parse_html(url, decode_html(bytes(html)))
             if len(links) >= (1 << LINK_IDX_BITS):  # keep _ord pack unique
                 raise ValueError(
@@ -110,19 +147,8 @@ def _extract_candidates_batches(
                 )
             for idx, link in enumerate(links):
                 uc = canonicalize(link.url)
-                out["url_canon"].append(uc)
-                out["host"].append(host_of(uc))
-                out["path"].append(path_of(uc))
-                out["protocol"].append(scheme_of(uc))
-                out["src_tag"].append(link.tag)
-                out["src_attr"].append(link.attr)
-                out["is_requisite"].append(link.is_requisite)
-                out["parent_seq"].append(int(seq))
-                out["link_idx"].append(idx)
-                out["via_url"].append(url)
-                out["via_host"].append(host)
-                out["parent_depth"].append(int(depth))
-                out["parent_domain_depth"].append(int(dd))
+                emit(uc, link.tag, link.attr, link.is_requisite, seq, idx,
+                     url, host, depth, dd, False)
         yield pd.DataFrame(
             {c: pd.Series(out[c], dtype=dtypes[c]) for c in cols}
         )

@@ -1,0 +1,83 @@
+"""S4 — mirror update / revisit: conditional refetch as a dedup-overwrite
+MERGE keyed by url_canon (SURVEY.md §2.1 S4; VERDICT r1 next #7).
+
+track0's ``--update`` workflow refetches previously-mirrored URLs and
+rewrites only what changed, using etag/last-modified conditional
+requests. The stored-pages analog (the input table carries no headers):
+
+  * last-modified analog — ``warc_ts`` of the page row at save time
+  * etag analog         — ``md5(html)`` computed at save time (native)
+
+``revisit_merge(saved, pages)`` is one left join + CASE — the exact
+shape Iceberg ``MERGE INTO saved WHEN MATCHED ...`` compiles to, so the
+production swap is a DDL change, not a rewrite. Per row:
+
+  * pages row missing                      -> ``gone``      (keep old
+    bytes; a mirror never silently loses content — track0-style)
+  * warc_ts unchanged                      -> ``unchanged`` (304 analog:
+    skipped without reading the body — the cheap conditional path)
+  * warc_ts newer, md5(html) equal         -> ``validated`` (etag hit:
+    body read but not rewritten)
+  * md5 differs                            -> ``modified``  (refetch:
+    new bytes, new etag, new last-modified)
+
+Everything is native Columns (no UDF); both join sides key on
+url_canon, bucket-aligned at the 10^10 design point. The join is
+hinted SHUFFLE_HASH — the mirror side streams, the (pruned, url+ts+
+html) pages side builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: columns a revisitable saved_pages snapshot carries
+SAVED_COLS = ["url_canon", "html", "etag", "last_modified"]
+
+
+def with_save_metadata(saved: DataFrame) -> DataFrame:
+    """Attach the conditional-refetch metadata at save time:
+    (url_canon, html, warc_ts) -> + etag (md5) + last_modified."""
+    return saved.select(
+        "url_canon",
+        "html",
+        F.md5(F.col("html")).alias("etag"),
+        F.col("warc_ts").alias("last_modified"),
+    )
+
+
+def revisit_merge(saved: DataFrame, pages: DataFrame) -> DataFrame:
+    """-> (url_canon, html, etag, last_modified, refetch_status).
+
+    Exactly one output row per saved url (dedup-overwrite MERGE
+    semantics); ``refetch_status`` ∈ {gone, unchanged, validated,
+    modified}. Deterministic: pure function of the two snapshots."""
+    p = pages.select(
+        F.col("url").alias("url_canon"),
+        F.col("html").alias("_new_html"),
+        F.col("warc_ts").alias("_new_ts"),
+    ).hint("SHUFFLE_HASH")
+    j = saved.join(p, "url_canon", "left")
+    new_etag = F.md5(F.col("_new_html"))
+    status = (
+        F.when(F.col("_new_html").isNull(), F.lit("gone"))
+        .when(F.col("_new_ts") <= F.col("last_modified"), F.lit("unchanged"))
+        .when(new_etag == F.col("etag"), F.lit("validated"))
+        .otherwise(F.lit("modified"))
+    )
+    j = j.withColumn("refetch_status", status)
+    modified = F.col("refetch_status") == "modified"
+    # validated rows keep their bytes+etag but record the new
+    # last-modified (a revalidation refreshes the cache date) — this is
+    # what makes revisit idempotent: re-running against the same pages
+    # snapshot yields only unchanged/gone
+    fresh_ts = F.col("refetch_status").isin("modified", "validated")
+    return j.select(
+        "url_canon",
+        F.when(modified, F.col("_new_html")).otherwise(F.col("html")).alias("html"),
+        F.when(modified, new_etag).otherwise(F.col("etag")).alias("etag"),
+        F.when(fresh_ts, F.col("_new_ts"))
+        .otherwise(F.col("last_modified"))
+        .alias("last_modified"),
+        "refetch_status",
+    )

@@ -23,7 +23,13 @@ from track0s.config import CrawlConfig
 from track0s.robots import DEFAULT_BUDGET
 from track0s.rules import DEFAULTS
 
-from ..functions.exprs import content_type_expr, is_html_expr, url_hash_expr
+from ..functions.exprs import (
+    content_type_expr,
+    header_content_type_expr,
+    is_html_expr,
+    redirect_target_expr,
+    url_hash_expr,
+)
 from ..functions.rules_compile import compile_rules
 from ..functions.udfs import (
     EXTRACT_INPUT_COLS,
@@ -155,12 +161,24 @@ class RoundPlanner:
         fetched = batch.join(
             pages_hit, batch.url_canon == pages_hit.p_url, "left"
         ).drop("p_url")
+        # in-band HTTP analogs (track0s/http.py, native twins in
+        # functions/exprs.py): meta-refresh -> status 301; in-band
+        # content-type declaration overrides the extension guess (R8)
         fetched = (
             fetched.withColumn(
-                "status", F.when(F.col("html").isNotNull(), 200).otherwise(404)
+                "status",
+                F.when(F.col("html").isNull(), 404)
+                .when(redirect_target_expr(F.col("html")).isNotNull(), 301)
+                .otherwise(200),
             )
             .withColumn("size", F.length("html"))
-            .withColumn("content_type", content_type_expr(F.col("path")))
+            .withColumn(
+                "content_type",
+                F.coalesce(
+                    header_content_type_expr(F.col("html")),
+                    content_type_expr(F.col("path")),
+                ),
+            )
         )
         # R8/R9 + @save/@stop: compiled CASE WHEN chains, no UDF
         fetched = fetched.withColumn(
@@ -184,22 +202,29 @@ class RoundPlanner:
             "via_url",
         )
 
-        # E1-E3 (+U1/U2 fused): the single JVM->Python crossing
+        # E1-E3 (+U1/U2 fused): the single JVM->Python crossing.
+        # 301 parents ride along — the UDF emits their single resolved
+        # redirect target instead of parsed links.
         parents = fetched.filter(
             (~F.col("stop"))
-            & (F.col("status") == 200)
-            & is_html_expr(F.col("content_type"))
+            & (
+                ((F.col("status") == 200) & is_html_expr(F.col("content_type")))
+                | (F.col("status") == 301)
+            )
         ).select(*EXTRACT_INPUT_COLS)
         links = parents.mapInPandas(make_extract_candidates(bloom_bc), CANDIDATE)
 
-        # U5/U6: depth + domain-depth propagation (native arithmetic)
+        # U5/U6: depth + domain-depth propagation (native arithmetic);
+        # a redirect is not a hop — same depth, domain_depth preserved
+        # within-host, reset across hosts
+        hop = F.when(F.col("is_redirect"), F.lit(0)).otherwise(F.lit(1))
         cand = (
-            links.withColumn("depth", F.col("parent_depth") + 1)
+            links.withColumn("depth", F.col("parent_depth") + hop)
             .withColumn(
                 "domain_depth",
                 F.when(
                     F.col("host") == F.col("via_host"),
-                    F.col("parent_domain_depth") + 1,
+                    F.col("parent_domain_depth") + hop,
                 ).otherwise(0),
             )
             .withColumn("content_type", content_type_expr(F.col("path")))

@@ -75,6 +75,7 @@ CANDIDATE = T.StructType(
         T.StructField("via_host", T.StringType()),
         T.StructField("parent_depth", T.IntegerType()),
         T.StructField("parent_domain_depth", T.IntegerType()),
+        T.StructField("is_redirect", T.BooleanType()),  # meta-refresh hop
         T.StructField("url_h64", T.LongType()),  # bloom key
         T.StructField("maybe_seen", T.BooleanType()),  # bloom gate verdict
     ]
