@@ -566,28 +566,115 @@ def _langid_sql() -> str:
 Q23_SQL = _langid_sql()
 
 
+# --- portable-hash oracle twins (q24-q27): the seeded constants are
+# --- inlined as SQL literals, so DuckDB evaluates the SAME hash family
+# --- bit-for-bit (track0s/portable.py; tests/test_portable.py)
+
+from track0s import portable as _P
+
+DUCK_PERMS_SQL = (
+    "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in _P.PERMS) + "]"
+)
+
+
+def duck_char_hash(var: str, mul: int = _P.CHAR_MUL, bias: int = 0) -> str:
+    """DuckDB fragment: the portable char-fold hash of string ``var``
+    (unicode('') is -1 in DuckDB vs ascii('')=0 in Spark — the CASE
+    guard pins the empty-char edge to 0 on both engines)."""
+    plus = f" + {bias}" if bias else ""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({var}, ''), "
+        f"c -> CAST(CASE WHEN c = '' THEN 0 ELSE unicode(c) END AS BIGINT))), "
+        f"(a, c) -> (a * {mul} + c{plus}) % {_P.MOD})"
+    )
+
+
 def q24_minhash_lsh_pairs(spark, sf):
-    """MinHash+LSH near-dup pairs on documents (rows-only check: the
-    seeded permutation family is not expressible in DuckDB SQL)."""
-    from .operators.dedup import minhash_dedup_pairs
+    """MinHash+LSH near-dup pairs on documents — portable hash family,
+    fully native Columns (zero Python), oracle-hash-checked."""
+    from .operators.dedup import minhash_native_pairs
 
     d = T(spark, sf, "documents").select("doc_id", "text")
-    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.35).select(
+    return minhash_native_pairs(d, "doc_id", "text", threshold=0.35).select(
         "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 
+def _q24_sql() -> str:
+    band_exprs = []
+    for b in range(_P.NUM_BANDS):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(_P.ROWS_PER_BAND):
+            acc = f"((({acc}) * {_P.BAND_MUL} + sig[{b * _P.ROWS_PER_BAND + r + 1}]) % {_P.MOD})"
+        band_exprs.append(acc)
+    bands = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+shg AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
+         list_distinct(list_transform(range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),
+hs AS (SELECT doc_id, list_transform(shingles, s -> {duck_char_hash('s')}) AS hs FROM shg),
+sig AS (SELECT doc_id, list_transform({DUCK_PERMS_SQL}, p ->
+         CASE WHEN len(hs) = 0 THEN {_P.EMPTY_SIG}::BIGINT
+              ELSE list_min(list_transform(hs, x -> (p[1]*x + p[2]) % {_P.MOD})) END) AS sig
+       FROM hs),
+banded AS (SELECT doc_id, i - 1 AS band, ({bands})[i] AS key
+           FROM sig, range(1, {_P.NUM_BANDS + 1}) t(i)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                                     AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+          CAST(len(list_filter(range(1, {_P.NUM_PERM + 1}),
+               i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {_P.NUM_PERM} AS est_jaccard
+        FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.35
+"""
+
+
+Q24_SQL = _q24_sql()
+
+
 def q25_simhash_near_pairs(spark, sf):
-    """SimHash banded-Hamming near-dup pairs (rows-only check)."""
-    from .operators.dedup import simhash_near_pairs
+    """Portable SimHash banded-Hamming near-dup pairs, max_hamming=3
+    (the 4x16 banding's guaranteed-recall bound) — oracle-hash-checked."""
+    from .operators.dedup import simhash_native_pairs
 
     d = T(spark, sf, "documents").select("doc_id", "text")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=16)
+    return simhash_native_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _q25_sql() -> str:
+    th62 = f"({duck_char_hash('t')}) + (({duck_char_hash('t', _P.CHAR_MUL2, 1)}) << 31)"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n,
+         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                t -> {th62})) AS h
+  FROM documents),
+bits AS (SELECT doc_id, i, any_value(n) AS n, sum((h >> i) & 1) AS ones
+         FROM tok, range(0, {_P.SIMHASH_BITS}) t(i) GROUP BY doc_id, i),
+fp AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << i)
+                                    ELSE 0 END) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, i AS band, (simhash >> (16 * i)) & 65535 AS key
+           FROM fp, range(0, 4) t(i)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sh_a, b.simhash AS sh_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                                    AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+Q25_SQL = _q25_sql()
 
 
 def q26_fingerprint(spark, sf):
-    """Rolling polynomial document fingerprint (rows-only: xxhash64 has
-    no DuckDB twin)."""
+    """Rolling polynomial document fingerprint (portable char-fold token
+    hashes — oracle-hash-checked; partition-invariant pure fold)."""
     from .operators.textstats import fingerprint_expr
 
     return T(spark, sf, "documents").select(
@@ -595,17 +682,138 @@ def q26_fingerprint(spark, sf):
     )
 
 
+def _q26_sql() -> str:
+    from .operators.textstats import FP_MOD, FP_MUL
+
+    return f"""
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> {duck_char_hash('t')})),
+    (acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}) AS fp
+FROM documents
+"""
+
+
+Q26_SQL = _q26_sql()
+
+
 def q27_ann_lsh(spark, sf):
-    """LSH-bucketed approximate top-k cosine (rows-only: seeded
-    hyperplanes are not expressible in SQL); brute-force q21 is the
-    exact twin-checked baseline."""
-    from .operators.similarity import ann_topk_lsh, with_lsh_bucket
+    """LSH-bucketed approximate top-k cosine — native sequential-fold
+    bucket signatures (bit-equal across engines) make the probe
+    oracle-hash-checkable; brute-force q21 is the exact baseline."""
+    from .operators.similarity import ann_topk_lsh, with_lsh_bucket_native
 
     e = T(spark, sf, "embeddings")
-    bucketed = with_lsh_bucket(e, "vec_id", "embedding", dim=64, planes=10)
+    bucketed = with_lsh_bucket_native(e, "embedding", dim=64, planes=10)
     return ann_topk_lsh(
         bucketed, "vec_id", "embedding", _QVEC, dim=64, planes=10, radius=2, k=10
     ).select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _q27_sql() -> str:
+    from .operators.similarity import _hyperplanes, query_buckets
+
+    H = _hyperplanes(64, 10)
+    probe = query_buckets(_QVEC, 64, 10, radius=2)
+    plane_dots = []
+    for p in range(10):
+        row = "[" + ", ".join(repr(float(v)) for v in H[p]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({row})[i])), (a, x) -> a + x)"
+        )
+        plane_dots.append(
+            f"CASE WHEN ({dot}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    bucket = " + ".join(plane_dots)
+    probe_sql = ", ".join(str(x) for x in probe)
+    qnorm = repr(float(sum(v * v for v in _QVEC) ** 0.5))
+    qdot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({_QVEC_SQL})[i])), (a, x) -> a + x)"
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
+        "(a, x) -> a + x))"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+SELECT vec_id, round(({qdot}) / (({vnorm}) * {qnorm}), 4) AS score
+FROM b WHERE bucket IN ({probe_sql})
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+Q27_SQL = _q27_sql()
+
+
+def q28_revisit_merge(spark, sf):
+    """S4 mirror update / revisit: conditional-refetch MERGE keyed by
+    url_canon (warc_ts analog = version int, etag analog = md5). The
+    'old mirror' and 'current web' are deterministic derivations of
+    documents, so the DuckDB twin replays the identical MERGE."""
+    from .operators.revisit import revisit_merge
+
+    d = T(spark, sf, "documents")
+    old_body = F.when(
+        F.col("doc_id") % 5 == 0, F.substring("text", 1, 50)
+    ).otherwise(F.col("text"))
+    old_ts = (
+        F.when((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 3 == 0), 100)
+        .otherwise(200)
+        .cast("long")
+    )
+    saved = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "url_canon"
+        ),
+        F.encode(old_body, "utf-8").alias("html"),
+        F.md5(F.encode(old_body, "utf-8")).alias("etag"),
+        old_ts.alias("last_modified"),
+    )
+    new_ts = (
+        F.when((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 3 == 0), 300)
+        .otherwise(200)
+        .cast("long")
+    )
+    pages_now = d.filter(F.col("doc_id") % 11 != 3).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode("text", "utf-8").alias("html"),
+        new_ts.alias("warc_ts"),
+    )
+    return revisit_merge(saved, pages_now).select(
+        "url_canon", "refetch_status", "etag", "last_modified"
+    )
+
+
+Q28_SQL = """
+WITH saved AS (
+  SELECT 'doc://' || doc_id AS url_canon,
+         CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 50) ELSE text END AS body,
+         CAST(CASE WHEN doc_id % 5 = 0 OR doc_id % 3 = 0 THEN 100 ELSE 200 END AS BIGINT) AS lm
+  FROM documents WHERE doc_id % 7 <> 0),
+pages AS (
+  SELECT 'doc://' || doc_id AS url_canon, text AS new_body,
+         CAST(CASE WHEN doc_id % 5 = 0 OR doc_id % 3 = 0 THEN 300 ELSE 200 END AS BIGINT) AS new_ts
+  FROM documents WHERE doc_id % 11 <> 3),
+j AS (SELECT s.url_canon, s.body, s.lm, p.new_body, p.new_ts
+      FROM saved s LEFT JOIN pages p USING (url_canon)),
+m AS (SELECT *,
+        CASE WHEN new_body IS NULL THEN 'gone'
+             WHEN new_ts <= lm THEN 'unchanged'
+             WHEN md5(new_body) = md5(body) THEN 'validated'
+             ELSE 'modified' END AS refetch_status
+      FROM j)
+SELECT url_canon, refetch_status,
+       CASE WHEN refetch_status = 'modified' THEN md5(new_body) ELSE md5(body) END AS etag,
+       CASE WHEN refetch_status IN ('modified', 'validated') THEN new_ts ELSE lm END AS last_modified
+FROM m
+"""
 
 
 # --------------------------------------------------------------------------
@@ -636,10 +844,11 @@ QUERIES = {
     "q21_ann_cosine": (q21_ann_cosine, Q21_SQL),
     "q22_embedding_norms": (q22_embedding_norms, Q22_SQL),
     "q23_langid": (q23_langid, Q23_SQL),
-    "q24_minhash_lsh_pairs": (q24_minhash_lsh_pairs, None),
-    "q25_simhash_near_pairs": (q25_simhash_near_pairs, None),
-    "q26_fingerprint": (q26_fingerprint, None),
-    "q27_ann_lsh": (q27_ann_lsh, None),
+    "q24_minhash_lsh_pairs": (q24_minhash_lsh_pairs, Q24_SQL),
+    "q25_simhash_near_pairs": (q25_simhash_near_pairs, Q25_SQL),
+    "q26_fingerprint": (q26_fingerprint, Q26_SQL),
+    "q27_ann_lsh": (q27_ann_lsh, Q27_SQL),
+    "q28_revisit_merge": (q28_revisit_merge, Q28_SQL),
 }
 
 

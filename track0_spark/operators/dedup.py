@@ -5,16 +5,27 @@ from ``track0s.hashing.SEED`` — reruns give identical clusters):
 
   * exact           — md5 fingerprint hash-groupBy (native, no UDF)
   * ngram Jaccard   — all-pairs on a candidate subset (native arrays)
-  * MinHash + LSH   — signature via vectorized pandas UDF, banded
-                      bucket join for candidates, exact-Jaccard verify;
-                      the 100 TB path: cost is O(docs x bands) shuffle,
-                      never O(docs^2)
-  * SimHash         — 64-bit weighted-bit fingerprint, near-dups via
-                      banded Hamming join (4 x 16-bit bands finds all
-                      pairs with distance <= 3 by pigeonhole)
+  * MinHash + LSH   — banded bucket join for candidates, estimated-
+                      Jaccard verify; the 100 TB path: cost is
+                      O(docs x bands) shuffle, never O(docs^2)
+  * SimHash         — weighted-bit fingerprint, near-dups via banded
+                      Hamming join (b bands of w bits finds all pairs
+                      with distance <= b-1 by pigeonhole)
 
-Scale notes: the LSH band join shuffles on (band, band_hash) — skew
-appears only when thousands of docs share a band hash, which at 16
+MinHash/SimHash each come in TWO hash-family flavors:
+
+  * ``*_native_*`` — the PORTABLE family (track0s/portable.py):
+    char-fold shingle hashes + seeded multiply-shift perms, evaluated
+    entirely as whole-stage-codegen'd Columns (zero Python), and
+    bit-identically expressible in DuckDB SQL — these back the
+    oracle-checked contract queries q24/q25 AND are the 100 TB default
+    (no Arrow crossing at all).
+  * the numpy/blake2b variants below — the pluggable-hash path for
+    callers who need a cryptographic-strength family; vectorized
+    mapInPandas, rows-only checkable.
+
+Scale notes: the LSH band join shuffles on (band, band_key) — skew
+appears only when thousands of docs share a band key, which at 16
 bands x 4 rows means they are near-identical anyway; AQE skew-join
 handles the rest. The verify stage joins signatures, not texts, unless
 ``verify_exact`` pulls the shingle sets for true Jaccard.
@@ -206,6 +217,150 @@ def minhash_dedup_pairs(
     pairs = lsh_candidate_pairs(sig, bands, rows)
     est = minhash_estimated_similarity(sig, pairs)
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ------------------- portable native family (q24/q25) ---------------------
+# Constants + pure reference in track0s/portable.py; the SQL twins live
+# in contract.py. Three-way bit-equality (Spark/DuckDB/Python) is
+# pytest-asserted in tests/test_portable.py.
+
+from track0s import portable as P
+
+
+def char_hash_sql(var: str, mul: int = P.CHAR_MUL, bias: int = 0) -> str:
+    """Spark-SQL fragment: portable char-fold hash of string ``var``."""
+    plus = f" + {bias}" if bias else ""
+    return (
+        f"aggregate(split({var}, ''), CAST(0 AS BIGINT), "
+        f"(a, c) -> (a * {mul} + ascii(c){plus}) % {P.MOD})"
+    )
+
+
+def _shingle_sql(text_col: str, n: int = 3) -> str:
+    words = f"split(trim({text_col}), '\\\\s+')"
+    grams = ", ".join(f"element_at({words}, i + {k + 1})" for k in range(n))
+    return (
+        f"CASE WHEN size({words}) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', {grams}))) END"
+    )
+
+
+def minhash_native_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """-> (id, sig array<bigint>[64]) — pure Columns, no Python.
+
+    Stage 1 hashes each distinct shingle once into ``_hs``; stage 2
+    takes the 64 seeded multiply-shift minima over that array. Work is
+    O(shingles x NUM_PERM) multiply-adds per doc, JVM-side."""
+    d = df.select(F.col(id_col).alias("id"), text_col).withColumn(
+        "_hs", F.expr(f"transform({_shingle_sql(text_col, shingle_n)}, s -> {char_hash_sql('s')})")
+    )
+    slots = ", ".join(
+        f"CASE WHEN size(_hs) = 0 THEN CAST({P.EMPTY_SIG} AS BIGINT) ELSE "
+        f"array_min(transform(_hs, x -> (CAST({a} AS BIGINT) * x + {b}) % {P.MOD})) END"
+        for a, b in P.PERMS
+    )
+    return d.select("id", F.expr(f"array({slots})").alias("sig"))
+
+
+def _band_keys_expr() -> str:
+    """16 band keys: fold of each 4-slot signature slice (portable)."""
+    keys = []
+    for b in range(P.NUM_BANDS):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(P.ROWS_PER_BAND):
+            acc = f"((({acc}) * {P.BAND_MUL} + sig[{b * P.ROWS_PER_BAND + r}]) % {P.MOD})"
+        keys.append(acc)
+    return "array(" + ", ".join(keys) + ")"
+
+
+def minhash_native_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    handles: list | None = None,
+) -> DataFrame:
+    """Oracle-expressible MinHash LSH near-dup pairs >= threshold:
+    (id_a, id_b, est_jaccard), est = equal-slot fraction."""
+    sig = minhash_native_signatures(df, id_col, text_col).persist()
+    if handles is not None:
+        handles.append(sig)
+    banded = sig.select(
+        "id", F.posexplode(F.expr(_band_keys_expr())).alias("band", "key")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    est = minhash_estimated_similarity(sig, pairs)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_native_expr(text_col: str) -> F.Column:
+    """Portable 62-bit SimHash fingerprint as one Column expression."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    th62 = f"({char_hash_sql('t')}) + shiftleft({char_hash_sql('t', P.CHAR_MUL2, 1)}, 31)"
+    ones = (
+        f"aggregate(transform({words}, t -> {th62}), "
+        f"array_repeat(CAST(0 AS BIGINT), {P.SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, {P.SIMHASH_BITS - 1}), "
+        f"i -> shiftright(h, i) & 1), (x, y) -> x + y))"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {P.SIMHASH_BITS - 1}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(2 * element_at({ones}, i + 1) > size({words}), "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+
+
+def simhash_native_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    handles: list | None = None,
+) -> DataFrame:
+    """Portable SimHash near-dup pairs via the 4 x 16-bit banded Hamming
+    join — full recall guaranteed for distance <= 3 (pigeonhole); the
+    default enforces that bound."""
+    assert max_hamming <= 3, "4x16 banding guarantees recall only to d<=3"
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_native_expr(text_col).alias("simhash")
+    ).persist()
+    if handles is not None:
+        handles.append(sig)
+    bands = F.array(
+        *[
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = sig.select("id", "simhash", F.posexplode(bands).alias("band", "key"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    )
+    return ham.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 # ---------------------------- SimHash ------------------------------------

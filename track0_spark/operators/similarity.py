@@ -69,6 +69,50 @@ def lsh_signature_batches(id_col: str, vec_col: str, dim: int, planes: int):
     return run
 
 
+def lsh_bucket_expr(vec_col: str, dim: int, planes: int):
+    """Native bucket signature: bit p set iff the SEQUENTIAL-left-fold
+    dot(vec, hyperplane_p) > 0. The fold order is the point — Python's
+    plain loop, Spark's ``aggregate`` and DuckDB's ``list_reduce`` all
+    evaluate the identical IEEE-754 sum, so bucket assignments are
+    bit-equal across engines (the q27 oracle twin relies on it). The
+    numpy/matmul variant below remains for bulk ingest, where pairwise
+    summation differences don't matter."""
+    H = _hyperplanes(dim, planes)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        row = F.array(*[F.lit(float(v)) for v in H[p]])
+        dot = F.aggregate(
+            F.zip_with(emb, row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def with_lsh_bucket_native(
+    df: DataFrame, vec_col: str, dim: int, planes: int = 12
+) -> DataFrame:
+    """UDF-free bucketing — the oracle-checked path (q27)."""
+    return df.withColumn("bucket", lsh_bucket_expr(vec_col, dim, planes))
+
+
+def query_signature_fold(query: list[float], dim: int, planes: int) -> int:
+    """Query bucket via the same sequential fold as lsh_bucket_expr."""
+    H = _hyperplanes(dim, planes)
+    sig = 0
+    for p in range(planes):
+        acc = 0.0
+        for x, y in zip(query, H[p]):
+            acc += float(x) * float(y)
+        if acc > 0:
+            sig |= 1 << p
+    return sig
+
+
 def with_lsh_bucket(
     df: DataFrame, id_col: str, vec_col: str, dim: int, planes: int = 12
 ) -> DataFrame:
@@ -80,10 +124,9 @@ def with_lsh_bucket(
 
 
 def query_buckets(query: list[float], dim: int, planes: int, radius: int = 1):
-    """All bucket ids within Hamming ``radius`` of the query signature."""
-    H = _hyperplanes(dim, planes)
-    q = np.asarray(query, dtype=np.float64)
-    sig = int(((q @ H.T) > 0).astype(np.int64) @ (1 << np.arange(planes)))
+    """All bucket ids within Hamming ``radius`` of the query signature
+    (signature via the portable sequential fold — engine-agnostic)."""
+    sig = query_signature_fold(query, dim, planes)
     buckets = {sig}
     if radius >= 1:
         buckets |= {sig ^ (1 << i) for i in range(planes)}

@@ -84,14 +84,17 @@ FP_MUL = 1_000_003
 
 def fingerprint_expr(text_col: str) -> Column:
     """Order-sensitive rolling document fingerprint: left fold of
-    per-token xxhash64 with a polynomial accumulator, modular (ANSI-mode
-    safe: acc < 2^31, so acc*MUL + h stays inside long). Same text ->
-    same fingerprint on any partitioning (pure fold)."""
-    return F.aggregate(
-        tokens_expr(text_col),
-        F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(FP_MUL).cast("long") + F.pmod(F.xxhash64(t), F.lit(FP_MOD)),
-            F.lit(FP_MOD),
-        ),
+    per-token PORTABLE char hashes (track0s/portable.py) with a
+    polynomial accumulator, modular (ANSI-mode safe: acc < 2^31, so
+    acc*MUL + h stays inside long). Same text -> same fingerprint on
+    any partitioning (pure fold) — and on any ENGINE: the char-fold
+    family is bit-identical in DuckDB SQL, so q26 is oracle-checked
+    (the round-1 xxhash64 variant had no DuckDB twin)."""
+    from .dedup import char_hash_sql
+
+    tok_hash = char_hash_sql("t")
+    return F.expr(
+        f"aggregate(transform(split(trim(lower({text_col})), '\\\\s+'), "
+        f"t -> {tok_hash}), CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
     )

@@ -51,6 +51,12 @@ PERMS: list[tuple[int, int]] = _perm_params()
 
 
 def char_hash(s: str, mul: int = CHAR_MUL, bias: int = 0) -> int:
+    """Engine-semantics char fold: Spark ``split(s, '')`` / DuckDB
+    ``string_split(s, '')`` yield ``['']`` for the EMPTY string (one
+    zero-codepoint char), so ``char_hash('')`` folds one step — bias
+    included. Non-empty strings split into exactly their chars."""
+    if s == "":
+        return bias % MOD
     acc = 0
     for c in s:
         acc = (acc * mul + ord(c) + bias) % MOD
