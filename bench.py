@@ -109,13 +109,17 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def control_kernel(pages_path: str, lo: int, hi: int, n_pages: int = 12000) -> dict:
+def control_kernel(
+    pages_path: str, procs_list: list[int], n_pages: int = 12000
+) -> dict:
     """Hardware-roofline control (VERDICT r1 next #3): the SAME parse
     kernel the crawl's hot stage runs (track0s.extract.parse_html), as
-    plain multiprocessing — no Spark, no JVM, no shuffle. Its lo->hi
-    scaling is the ceiling ANY engine can show on this host; the crawl's
-    measured efficiency should be read against it. Emitted in the bench
-    JSON so the driver's artifact carries the evidence."""
+    plain multiprocessing — no Spark, no JVM, no shuffle. Its scaling
+    across proc counts is the ceiling ANY engine can show on this host;
+    the crawl's measured efficiency at each level should be read against
+    it. Emitted in the bench JSON so the driver's artifact carries the
+    evidence. ``efficiency`` is between the first two entries (the
+    N -> 4N criterion pair)."""
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
@@ -134,13 +138,14 @@ def control_kernel(pages_path: str, lo: int, hi: int, n_pages: int = 12000) -> d
 
     # warm-up (page cache, imports), then one timed run per level
     _parse_chunk(rows[:500])
-    thr_lo, thr_hi = run_level(lo), run_level(hi)
+    thr = [run_level(p) for p in procs_list]
+    lo, hi = procs_list[0], procs_list[1]
     return {
         "kernel": "track0s.extract.parse_html (multiprocessing, no Spark)",
         "pages": len(rows),
-        "procs": [lo, hi],
-        "pages_per_sec": [thr_lo, thr_hi],
-        "efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "procs": procs_list,
+        "pages_per_sec": thr,
+        "efficiency": round((thr[1] / thr[0]) / (hi / lo), 3),
     }
 
 
@@ -255,13 +260,22 @@ def write_baseline_md(
                 "### Same-run hardware control (in the BENCH json as "
                 "`crawl.control_kernel`)",
                 "",
-                f"The identical parse kernel as plain multiprocessing, measured "
-                f"IN THIS RUN: {control['pages_per_sec'][0]} pages/s at "
-                f"{control['procs'][0]} proc(s) -> {control['pages_per_sec'][1]} "
-                f"at {control['procs'][1]} — control efficiency "
-                f"**{control['efficiency']:.3f}**. This is the ceiling the host "
-                f"offers any engine for this workload at this moment; read the "
-                f"crawl efficiency against it.",
+                "The identical parse kernel as plain multiprocessing, measured "
+                "IN THIS RUN at every crawl level:",
+                "",
+                "| procs | " + " | ".join(str(p) for p in control["procs"]) + " |",
+                "|---|" + "---|" * len(control["procs"]),
+                "| pages/s | "
+                + " | ".join(str(v) for v in control["pages_per_sec"])
+                + " |",
+                "",
+                f"Control efficiency on the criterion pair "
+                f"({control['procs'][0]} -> {control['procs'][1]}): "
+                f"**{control['efficiency']:.3f}** — the ceiling the host offers "
+                f"ANY engine for this workload at this moment; read the crawl "
+                f"efficiencies against it. Where the control itself flattens or "
+                f"drops (typically beyond ~16 procs on this VM), so must any "
+                f"engine.",
             ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -319,10 +333,15 @@ def main() -> int:
         )
         return best
 
+    # levels: the (lo, hi) efficiency pair, the host's measured sweet
+    # spot (16 — beyond it the VM stops yielding real CPU, see the
+    # control kernel + BENCH/BASELINE.md roofline table), and the
+    # advertised-peak 32 for completeness.
+    levels = [lo, hi] + [c for c in (16, peak) if c not in (lo, hi)]
     if quick:
         crawl_results = [run_crawl(peak, pages_path, profile, salt=0)]
     else:
-        crawl_results = [best_of(lo, 2), best_of(hi, 2), best_of(peak, 2)]
+        crawl_results = [best_of(c, 2) for c in levels]
     eff = eff_sat = None
     if len(crawl_results) >= 2:
         r_lo, r_hi = crawl_results[0], crawl_results[1]
@@ -336,15 +355,17 @@ def main() -> int:
                 / ratio,
                 3,
             )
-    control = None if quick else control_kernel(pages_path, lo, hi)
+    control = None if quick else control_kernel(pages_path, levels)
     if not quick:  # quick mode must not clobber the real baseline doc
         write_baseline_md(crawl_results, eff, eff_sat, profile, control)
 
     queries = run_queries(sf_dir, peak)
 
+    peak_level = max(crawl_results, key=lambda r: r["urls_per_sec"])
     result = {
         "metric": "crawl_urls_per_sec",
-        "value": crawl_results[-1]["urls_per_sec"],
+        "value": peak_level["urls_per_sec"],
+        "value_cores": peak_level["cores"],
         "unit": "sec",
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
