@@ -35,7 +35,11 @@ VOCAB = (
     "whiskey xray yankee zulu data spark crawl frontier page link"
 ).split()
 
-FIXTURE_VERSION = 2  # bump when the html template or graph rule changes
+FIXTURE_VERSION = 3  # bump when the html template or graph rule changes
+# v3: every host serves a real stylesheet at /static/site.css
+# (page_idx = CSS_PAGE_IDX sentinel) whose url(...) references exercise
+# the linked-CSS requisite pass (track0s/extract.py parse_css); the
+# referenced background images have no pages rows (fetch-miss 404s).
 # v2: ~9% of pages (h64(url,'redir') % 11 == 3) are meta-refresh redirect
 # pages (one target, same-host relative or cross-host absolute, never a
 # redirect chain longer than the graph allows); ~6% of content pages
@@ -65,8 +69,26 @@ def host_name(i: int) -> str:
     return f"h{i}.example.test"
 
 
+#: sentinel page_idx for the host stylesheet (v3)
+CSS_PAGE_IDX = -1
+
+
 def page_url(host_idx: int, page_idx: int) -> str:
+    if page_idx == CSS_PAGE_IDX:
+        return f"http://{host_name(host_idx)}/static/site.css"
     return f"http://{host_name(host_idx)}/p/{page_idx}"
+
+
+def css_content(host_idx: int) -> bytes:
+    """Deterministic per-host stylesheet with url(...) requisites
+    (targets have no pages rows -> 404 fetch misses)."""
+    url = page_url(host_idx, CSS_PAGE_IDX)
+    bg = h64(url, "bg") % 1000
+    return (
+        f"body {{ background: url(/static/bg{bg}.png); }}\n"
+        f".logo {{ background: url('/static/logo.png'); }}\n"
+        f"h1 {{ color: #333; }}\n"
+    ).encode("utf-8")
 
 
 def host_sizes(profile: WebProfile) -> list[int]:
@@ -107,8 +129,10 @@ def redirect_target_of(
 def page_html(
     host_idx: int, page_idx: int, sizes: list[int], profile: WebProfile
 ) -> bytes:
-    """Frozen html template (FIXTURES.md §2, v2). Pure function of the URL."""
+    """Frozen html template (FIXTURES.md §2, v3). Pure function of the URL."""
     url = page_url(host_idx, page_idx)
+    if page_idx == CSS_PAGE_IDX:
+        return css_content(host_idx)
     if is_redirect_page(url):
         target = redirect_target_of(url, host_idx, sizes)
         html = (
@@ -169,6 +193,7 @@ def page_row(
 def iter_page_ids(profile: WebProfile):
     sizes = host_sizes(profile)
     for hi in range(profile.hosts):
+        yield hi, CSS_PAGE_IDX  # the host stylesheet (v3)
         for pj in range(sizes[hi]):
             yield hi, pj
 

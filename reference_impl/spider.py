@@ -27,7 +27,7 @@ from urllib.parse import urljoin
 
 from track0s import canon, mime
 from track0s.config import CrawlConfig, priority_of
-from track0s.extract import parse_html, decode_html
+from track0s.extract import decode_html, parse_css, parse_html
 from track0s.http import header_content_type, redirect_target
 from track0s.rules import evaluate
 
@@ -181,9 +181,14 @@ class OracleSpider:
                 )
                 self._gate_and_admit(child, new_cands)
                 continue
-            if not mime.is_html(attrs["content_type"]):
+            # link extraction per effective content-type: html -> full
+            # parse; css -> url(...) requisites; anything else -> leaf
+            if mime.is_html(attrs["content_type"]):
+                links, _text = parse_html(ls.url_canon, decode_html(page.html))
+            elif mime.is_css(attrs["content_type"]):
+                links = parse_css(ls.url_canon, decode_html(page.html))
+            else:
                 continue
-            links, _text = parse_html(ls.url_canon, decode_html(page.html))
             for link in links:
                 u = canon.canonicalize(link.url)
                 child = LinkState(

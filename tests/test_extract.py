@@ -99,3 +99,21 @@ def test_one_pass_links_and_text():
     ls, text = parse_html(BASE, '<p>hi</p><a href="/a">go</a>')
     assert text == "hi\ngo"
     assert len(ls) == 1
+
+
+def test_parse_css_links():
+    from track0s.extract import parse_css
+
+    css = (
+        "body { background: url(/static/bg7.png); }\n"
+        ".a { background: url('http://x.test/i.png'); }\n"
+        ".b { background: url(\"rel/i2.png\"); }\n"
+        ".c { background: url(data:image/png;base64,AAAA); }\n"
+        ".d { background: url(#frag); }\n"
+    )
+    links = parse_css("http://h.test/static/site.css", css)
+    assert [(l.url, l.tag, l.attr, l.is_requisite) for l in links] == [
+        ("http://h.test/static/bg7.png", "css", "url", True),
+        ("http://x.test/i.png", "css", "url", True),
+        ("http://h.test/static/rel/i2.png", "css", "url", True),
+    ]

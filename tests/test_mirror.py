@@ -214,6 +214,9 @@ def test_spark_mirror_materialize(spark):
     saved = {r["url_canon"] for r in out}
     by_url = {r["url_canon"]: r for r in out}
     for r in out:
+        if r["url_canon"].endswith(".css"):  # fixture v3 host stylesheets
+            assert r["local_path"].endswith(".css")
+            continue
         assert r["local_path"].endswith(".html")
         assert b"<html>" in bytes(r["html"])
     # deterministic across runs

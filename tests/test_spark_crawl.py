@@ -125,3 +125,31 @@ def test_text_extraction_byte_identical(spark, web_rows):
     got = {r["url"]: r["text"] for r in out.collect()}
     for row in web_rows:
         assert got[row["url"]] == row["text"], row["url"]
+
+
+def test_compaction_preserves_crawl_and_resume(spark, web_rows, oracle_log, tmp_path):
+    """S5 seen compaction is a pure optimization: a crawl that compacts
+    every 2 rounds (and a resume from a compacted store) reproduces the
+    exact oracle crawl_log + seen set."""
+    olog, oseen = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    root = str(tmp_path / "ckpt-compact")
+    loop1 = CrawlLoop(spark, make_cfg(), pages, root, compact_every=2)
+    loop1.run(max_rounds=5)
+    assert loop1.store.latest_compact(5) == 4  # compaction actually ran
+    # resume over the compacted base, keep compacting
+    loop2 = CrawlLoop(spark, make_cfg(), pages, root, compact_every=2)
+    summary = loop2.run()
+    assert spark_log_rows(loop2) == oracle_log_rows(olog)
+    got_seen = {
+        r["url_canon"]
+        for r in loop2.store.load_seen(summary.rounds).collect()
+    }
+    assert got_seen == oseen
+    # load_seen from the compacted store == pure delta union
+    import os
+
+    base = loop2.store.latest_compact(summary.rounds)
+    assert base is not None
+    n_compacted = loop2.store.load_seen(summary.rounds).count()
+    assert n_compacted == len(oseen)

@@ -15,7 +15,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from track0s.canon import _TWO_LEVEL_SUFFIXES, registered_domain
 from track0s.rules import NUM_TESTS, Rule, TEST_ATTR, glob_to_regex
+
+
+def reg_domain_col(host_col: str = "host") -> Column:
+    """Native twin of ``track0s.canon.registered_domain`` — CASE-guarded
+    so element_at(-3) never evaluates for short hosts (ANSI-safe)."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(n < 2, F.col(host_col))
+        .when((n >= 3) & last2.isin(sorted(_TWO_LEVEL_SUFFIXES)), last3)
+        .otherwise(last2)
+    )
 
 
 def _num_pred(col: Column, op: str, value: int) -> Column:
@@ -34,6 +54,11 @@ def rule_predicate(rule: Rule, seed_hosts: list[str], seed_prefixes: list[str]) 
     t = rule.test
     if t == "original-domain":
         return F.col("host").isin(list(seed_hosts)) if seed_hosts else F.lit(False)
+    if t == "original-reg-domain":
+        seed_regs = sorted({registered_domain(h) for h in seed_hosts})
+        return (
+            reg_domain_col().isin(seed_regs) if seed_regs else F.lit(False)
+        )
     if t == "same-domain":
         return F.col("via_host").isNotNull() & (F.col("host") == F.col("via_host"))
     if t == "down":

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from track0s.canon import canonicalize, host_of, path_of, scheme_of
-from track0s.extract import decode_html, parse_html
+from track0s.extract import decode_html, parse_css, parse_html
 
 #: input columns the extract pass needs (column-pruned before the UDF).
 #: ``fetch_seq`` is the parent's global fetch order (a per-host-offset
@@ -33,6 +33,7 @@ EXTRACT_INPUT_COLS = [
     "domain_depth",
     "fetch_seq",
     "status",
+    "content_type",
     "html",
 ]
 
@@ -123,13 +124,14 @@ def _extract_candidates_batches(
             out["parent_domain_depth"].append(int(dd))
             out["is_redirect"].append(redir)
 
-        for url, host, depth, dd, seq, status, html in zip(
+        for url, host, depth, dd, seq, status, ctype, html in zip(
             pdf["url_canon"],
             pdf["host"],
             pdf["depth"],
             pdf["domain_depth"],
             pdf["fetch_seq"],
             pdf["status"],
+            pdf["content_type"],
             pdf["html"],
         ):
             if status == 301:
@@ -139,7 +141,10 @@ def _extract_candidates_batches(
                     emit(uc, "meta", "refresh", False, seq, 0,
                          url, host, depth, dd, True)
                 continue
-            links, _ = parse_html(url, decode_html(bytes(html)))
+            if ctype is not None and ctype.startswith("text/css"):
+                links = parse_css(url, decode_html(bytes(html)))
+            else:
+                links, _ = parse_html(url, decode_html(bytes(html)))
             if len(links) >= (1 << LINK_IDX_BITS):  # keep _ord pack unique
                 raise ValueError(
                     f"{url}: {len(links)} links exceeds the 2^{LINK_IDX_BITS}"

@@ -48,6 +48,7 @@ class CrawlLoop:
         partition_metrics: bool = False,
         bloom: bool = True,
         bloom_expected_keys: int = 2_000_000,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -62,6 +63,11 @@ class CrawlLoop:
         self.partition_metrics = partition_metrics
         self.use_bloom = bloom
         self.bloom_expected_keys = bloom_expected_keys
+        #: compact the fragmented seen deltas every K committed rounds
+        #: (0 = off). Pure optimization: load_seen output is identical
+        #: (sources/snapshot.py compact_seen); bounds resume cost over
+        #: 100s of rounds.
+        self.compact_every = compact_every
 
     def _build_bloom(self, upto_round: int):
         """(Re)build the partitioned bloom from the committed seen
@@ -133,6 +139,8 @@ class CrawlLoop:
                 bloom.add_many(self.store.read_delta_column(r + 1, "url_h64"))
                 bloom_bc.destroy()
                 man2["bloom_fill"] = round(bloom.fill_ratio(), 4)
+            if self.compact_every and (r + 1) % self.compact_every == 0:
+                man2["compact"] = self.store.compact_seen(r + 1)
             man2["round_wall_s"] = round(time.time() - rt0, 3)
             summary.round_metrics.append(man2)
             summary.fetched += man2["counts"]["crawl_log"]

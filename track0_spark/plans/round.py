@@ -203,12 +203,15 @@ class RoundPlanner:
         )
 
         # E1-E3 (+U1/U2 fused): the single JVM->Python crossing.
-        # 301 parents ride along — the UDF emits their single resolved
-        # redirect target instead of parsed links.
+        # 301 parents ride along (the UDF emits their single resolved
+        # redirect target); css parents get the url(...) requisite pass.
+        extractable = is_html_expr(F.col("content_type")) | F.col(
+            "content_type"
+        ).startswith("text/css")
         parents = fetched.filter(
             (~F.col("stop"))
             & (
-                ((F.col("status") == 200) & is_html_expr(F.col("content_type")))
+                ((F.col("status") == 200) & extractable)
                 | (F.col("status") == 301)
             )
         ).select(*EXTRACT_INPUT_COLS)

@@ -137,23 +137,86 @@ class SnapshotStore:
     def load_frontier(self, rnd: int) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(rnd), "frontier"))
 
+    def _compact_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"compact_{rnd:05d}")
+
+    def latest_compact(self, upto: int) -> int | None:
+        """Newest compacted-seen snapshot covering rounds 0..c, c<=upto."""
+        best = None
+        for name in os.listdir(self.root):
+            if not name.startswith("compact_"):
+                continue
+            if not os.path.exists(
+                os.path.join(self.root, name, "COMPACT.json")
+            ):
+                continue
+            c = int(name.split("_")[1])
+            if c <= upto and (best is None or c > best):
+                best = c
+        return best
+
+    def compact_seen(self, rnd: int) -> dict:
+        """Rewrite seen state 0..rnd as ONE parquet dir (S5 compaction).
+
+        Over 100s of rounds the seen state fragments into one small
+        delta dir per round; resume (and the distributed bloom build)
+        then pays a per-round listing + many tiny parquet reads. A
+        compacted snapshot caps that at one big read plus the deltas
+        SINCE the compaction. Same atomic tmp-dir + rename commit as
+        rounds; the per-round delta dirs stay untouched (crawl_log
+        shares them), so compaction is pure optimization — load_seen
+        output is identical with or without it (pytest-asserted).
+        Equivalent to Iceberg snapshot expiration + data compaction."""
+        tmp = os.path.join(self.root, f".tmp-compact-{rnd:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        t0 = time.time()
+        self.load_seen(rnd).repartition(
+            max(self.spark.sparkContext.defaultParallelism, 8)
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "seen"))
+        meta = {
+            "round": rnd,
+            "rows": _pq_count(os.path.join(tmp, "seen")),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        final = self._compact_dir(rnd)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        # drop superseded compacts (the deltas they were built from are
+        # still in the round dirs — nothing is lost)
+        for name in os.listdir(self.root):
+            if name.startswith("compact_") and name != f"compact_{rnd:05d}":
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        return meta
+
     def load_seen(self, rnd: int) -> DataFrame:
-        """Seen state at round rnd = union of deltas 0..rnd.
+        """Seen state at round rnd = newest compacted base (if any) +
+        deltas since it.
 
         Every committed round writes a seen_delta dir (possibly empty of
         rows, never absent) — a missing dir means a hole in the store
         (manual deletion, partial copy) and silently skipping it would
         shrink the seen set and re-admit crawled URLs, so FAIL LOUDLY."""
-        paths = [
-            os.path.join(self._dir(r), "seen_delta") for r in range(rnd + 1)
+        base = self.latest_compact(rnd)
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self._compact_dir(base), "seen"))
+        start = 0 if base is None else base + 1
+        delta_paths = [
+            os.path.join(self._dir(r), "seen_delta")
+            for r in range(start, rnd + 1)
         ]
-        missing = [p for p in paths if not os.path.exists(p)]
+        missing = [p for p in delta_paths if not os.path.exists(p)]
         if missing:
             raise FileNotFoundError(
                 f"seen store is torn: missing delta dirs {missing[:3]}"
                 f"{' …' if len(missing) > 3 else ''} for rounds <= {rnd}"
             )
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(*(paths + delta_paths))
 
     def read_delta_column(self, rnd: int, column: str):
         """One seen_delta column of round ``rnd`` as a numpy array, read

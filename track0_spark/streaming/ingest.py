@@ -57,6 +57,7 @@ def link_extraction_stream(pages_stream: DataFrame) -> DataFrame:
         F.lit(0).alias("domain_depth"),
         F.lit(0).cast("long").alias("fetch_seq"),
         F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
         "html",
     )
     return prepared.mapInPandas(make_extract_candidates(None), CANDIDATE).select(

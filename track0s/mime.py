@@ -46,3 +46,7 @@ def content_type_for(path: str) -> str:
 
 def is_html(content_type: str) -> bool:
     return content_type.startswith("text/html")
+
+
+def is_css(content_type: str) -> bool:
+    return content_type.startswith("text/css")

@@ -14,7 +14,9 @@ Rule syntax (one token per rule):
     [+-]TEST=GLOB         glob match (* and ?)    e.g. ``-url=*forum*``
 
 Numeric ops: ``<= >= < > =``.  Boolean tests: ``original-domain``,
-``same-domain``, ``down``, ``requisite``.  Numeric tests: ``depth``,
+``original-reg-domain`` (PSL-lite registrable domain, so
+``www.x.com`` matches a seed at ``x.com``), ``same-domain``, ``down``,
+``requisite``.  Numeric tests: ``depth``,
 ``domain-depth``, ``size``.  String/glob tests: ``url`` ``path``
 ``domain`` ``protocol`` ``tag`` ``content-type``.
 
@@ -31,7 +33,15 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-BOOL_TESTS = frozenset({"original-domain", "same-domain", "down", "requisite"})
+BOOL_TESTS = frozenset(
+    {
+        "original-domain",  # exact hostname ∈ seed hostnames
+        "original-reg-domain",  # PSL-lite registrable domain ∈ seed reg-domains
+        "same-domain",
+        "down",
+        "requisite",
+    }
+)
 NUM_TESTS = frozenset({"depth", "domain-depth", "size"})
 STR_TESTS = frozenset({"url", "path", "domain", "protocol", "tag", "content-type"})
 
@@ -144,6 +154,15 @@ def rule_matches(rule: Rule, attrs: dict) -> bool:
     t = rule.test
     if t == "original-domain":
         return attrs.get("host") in attrs.get("seed_hosts", ())
+    if t == "original-reg-domain":
+        from .canon import registered_domain
+
+        h = attrs.get("host")
+        if h is None:
+            return False
+        return registered_domain(h) in {
+            registered_domain(s) for s in attrs.get("seed_hosts", ())
+        }
     if t == "same-domain":
         via = attrs.get("via_host")
         return via is not None and attrs.get("host") == via
