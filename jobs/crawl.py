@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
     ap.add_argument("--no-bloom", action="store_true", help="disable the bloom seen-gate")
     ap.add_argument(
+        "--compact-every",
+        type=int,
+        default=0,
+        help="compact the seen deltas every K rounds (0=off)",
+    )
+    ap.add_argument(
         "--partition-metrics",
         action="store_true",
         help="record per-partition frontier row counts in each round manifest",
@@ -105,6 +111,7 @@ def main(argv=None) -> int:
             salt=args.salt,
             bloom=not args.no_bloom,
             partition_metrics=args.partition_metrics,
+            compact_every=args.compact_every,
         )
         summary = loop.run()
         print(
