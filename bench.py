@@ -57,6 +57,17 @@ def bench_cfg(profile: webgen.WebProfile) -> CrawlConfig:
     )
 
 
+def read_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor CPU steal."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:
+        return (0, 0)
+
+
 def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int):
     from track0_spark.session import build_crawl_spark
     from track0_spark.plans.loop import CrawlLoop
@@ -78,9 +89,12 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
         loop = CrawlLoop(
             spark, bench_cfg(profile), pages, ckpt, salt=salt, partition_metrics=False
         )
+        st0, tt0 = read_steal()
         t0 = time.time()
         summary = loop.run(max_rounds=BENCH_ROUNDS)
         wall = time.time() - t0
+        st1, tt1 = read_steal()
+        steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2)
         rounds = [
             {
                 "round": m["round"],
@@ -103,6 +117,7 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
             "saturated_urls_per_sec": (
                 round(sat["fetched"] / sat["wall_s"], 1) if sat else None
             ),
+            "steal_pct": steal_pct,
         }
     finally:
         spark.stop()
@@ -323,26 +338,36 @@ def main() -> int:
         finally:
             spark.stop()
 
-    def run_levels(levels: list[int], trials: int) -> list[dict]:
-        """INTERLEAVED trials: level1,level2,…,level1,level2,… — the
-        hypervisor's bursty CPU steal (documented in BENCH/BASELINE.md)
-        makes single runs swing ~2x, and back-to-back trials of one
-        level can both land inside one burst; interleaving samples every
-        level across the same time windows. Per level the best trial is
-        reported (plus all trials for transparency); the saturated-round
-        rate takes the per-metric max across trials."""
-        series: dict[int, list[dict]] = {c: [] for c in levels}
-        for _ in range(trials):
-            for c in levels:
+    def run_levels(
+        pair: list[int], extras: list[int], trials: int
+    ) -> list[dict]:
+        """INTERLEAVED trials of the graded (lo, hi) pair:
+        lo,hi,lo,hi,… — the hypervisor's bursty CPU steal (documented in
+        BENCH/BASELINE.md, now measured per-run as ``steal_pct``) makes
+        single runs swing ~2x, and back-to-back trials of one level can
+        both land inside one burst; interleaving samples both levels
+        across the same time windows. Per level the best trial is
+        reported (plus all trials + their steal for transparency); the
+        saturated-round rate takes the per-metric max across trials.
+        The context levels (host sweet spot 16, advertised peak 32) run
+        once each — they inform the peak-throughput headline, not the
+        efficiency criterion."""
+        series: dict[int, list[dict]] = {c: [] for c in pair + extras}
+        for t in range(trials):
+            for c in pair:
                 series[c].append(run_crawl(c, pages_path, profile, salt=0))
+            if t == 0:
+                for c in extras:
+                    series[c].append(run_crawl(c, pages_path, profile, salt=0))
         out = []
-        for c in levels:
+        for c in pair + extras:
             results = series[c]
             best = max(results, key=lambda r: r["urls_per_sec"])
             best["trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
             best["trials_saturated_urls_per_sec"] = [
                 r["saturated_urls_per_sec"] for r in results
             ]
+            best["trials_steal_pct"] = [r["steal_pct"] for r in results]
             best["saturated_urls_per_sec"] = max(
                 (s for s in best["trials_saturated_urls_per_sec"] if s),
                 default=best["saturated_urls_per_sec"],
@@ -350,16 +375,16 @@ def main() -> int:
             out.append(best)
         return out
 
-    # levels: the (lo, hi) efficiency pair, the host's measured sweet
-    # spot (16 — beyond it the VM stops yielding real CPU, see the
-    # control kernel + BENCH/BASELINE.md roofline table), and the
-    # advertised-peak 32 for completeness.
-    levels = [lo, hi] + [c for c in (16, peak) if c not in (lo, hi)]
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # levels: the (lo, hi) efficiency pair gets `trials` interleaved
+    # runs; the host's measured sweet spot (16 — beyond it the VM stops
+    # yielding real CPU, see the control kernel + BENCH/BASELINE.md
+    # roofline table) and the advertised-peak 32 run once for context.
+    extras = [c for c in (16, peak) if c not in (lo, hi)]
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     if quick:
         crawl_results = [run_crawl(peak, pages_path, profile, salt=0)]
     else:
-        crawl_results = run_levels(levels, trials)
+        crawl_results = run_levels([lo, hi], extras, trials)
     eff = eff_sat = eff_pairs = None
     if len(crawl_results) >= 2:
         r_lo, r_hi = crawl_results[0], crawl_results[1]
@@ -382,7 +407,7 @@ def main() -> int:
         eff_pairs = [
             round((h / l) / ratio, 3) for l, h in zip(lo_tr, hi_tr) if l
         ]
-    control = None if quick else control_kernel(pages_path, levels)
+    control = None if quick else control_kernel(pages_path, [lo, hi] + extras)
     if not quick:  # quick mode must not clobber the real baseline doc
         write_baseline_md(
             crawl_results, eff, eff_sat, profile, control, eff_pairs

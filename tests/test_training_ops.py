@@ -155,3 +155,28 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert all(v == [0, 1000, 2000] for v in by_id.values())
     assert len(by_id) == 3  # only the video rows
+
+
+def test_cosine_near_dup_pairs(vectors):
+    """Precision is exact (every returned pair truly >= tau); planted
+    duplicates (identical vectors share every band) are always found."""
+    df, rows = vectors
+    dup = df.limit(3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("vec")
+    )
+    full = df.union(dup)
+    got = similarity.cosine_near_dup_pairs(
+        full, "vec_id", "vec", dim=16, planes=12, band_bits=4, threshold=0.9
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    # the three planted exact dups are guaranteed candidates + cos==1
+    for i in range(3):
+        assert (i, i + 1000) in found
+    M = {vid: np.array(v) for vid, v in rows}
+    for vid, v in rows[:3]:
+        M[vid + 1000] = np.array(v)
+    for r in got:
+        a, b = M[r["id_a"]], M[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.9 - 1e-9  # exact precision
+        assert r["cosine"] == pytest.approx(cos, abs=1e-6)

@@ -816,6 +816,60 @@ FROM m
 """
 
 
+def q29_cosine_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs: banded 12-plane hyperplane LSH
+    candidates + exact sequential-fold cosine re-rank (never all-pairs;
+    precision exact, recall is the LSH OR-amplification curve). The
+    identical hyperplanes + fold order make it oracle-hash-checkable."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    e = T(spark, sf, "embeddings")
+    return cosine_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, planes=12, band_bits=4, threshold=0.35
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q29_sql() -> str:
+    from .operators.similarity import _hyperplanes
+
+    H = _hyperplanes(64, 12)
+    plane_dots = []
+    for p in range(12):
+        row = "[" + ", ".join(repr(float(v)) for v in H[p]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({row})[i])), (a, x) -> a + x)"
+        )
+        plane_dots.append(
+            f"CASE WHEN ({dot}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    bucket = " + ".join(plane_dots)
+    return f"""
+WITH s AS (SELECT vec_id, embedding, ({bucket}) AS bucket,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+               (a, x) -> a + x)) AS nrm
+           FROM embeddings),
+banded AS (SELECT vec_id, i AS band, (bucket >> (4 * i)) & 15 AS key
+           FROM s, range(0, 3) t(i)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+                                    AND a.vec_id < b.vec_id),
+scored AS (SELECT id_a, id_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65),
+                 i -> CAST(sa.embedding[i] AS DOUBLE) * CAST(sb.embedding[i] AS DOUBLE))),
+               (a, x) -> a + x) / (sa.nrm * sb.nrm) AS cosine
+           FROM cand JOIN s sa ON sa.vec_id = id_a JOIN s sb ON sb.vec_id = id_b)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM scored WHERE cosine >= 0.35
+"""
+
+
+Q29_SQL = _q29_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -849,6 +903,7 @@ QUERIES = {
     "q26_fingerprint": (q26_fingerprint, Q26_SQL),
     "q27_ann_lsh": (q27_ann_lsh, Q27_SQL),
     "q28_revisit_merge": (q28_revisit_merge, Q28_SQL),
+    "q29_cosine_near_dup": (q29_cosine_near_dup, Q29_SQL),
 }
 
 

@@ -157,3 +157,89 @@ def ann_topk_lsh(
     probe = query_buckets(query, dim, planes, radius)
     cand = bucketed.filter(F.col("bucket").isin(probe))
     return brute_force_topk(cand, id_col, vec_col, query, k)
+
+
+def vec_norm_expr(vec_col: str):
+    """Sequential-fold L2 norm (portable: same left-fold order as
+    DuckDB's ``list_reduce``, so bit-equal across engines)."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+def pair_cosine_expr(vec_a: str, vec_b: str, norm_a: str, norm_b: str):
+    """cosine(vec_a, vec_b) with precomputed norms — sequential-fold dot
+    product over ``zip_with`` (portable, codegen'd, no UDF)."""
+    ea = F.transform(F.col(vec_a), lambda x: x.cast("double"))
+    eb = F.transform(F.col(vec_b), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return dot / (F.col(norm_a) * F.col(norm_b))
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 12,
+    band_bits: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
+    candidate generation + exact-cosine re-rank (never all-pairs).
+
+    The ``planes``-bit signature splits into ``planes/band_bits`` bands;
+    two vectors are candidates iff they share any band value (classic
+    OR-amplification: P[candidate] = 1-(1-p^band_bits)^bands with
+    p = 1 - theta/pi). Exact cosine then filters candidates to
+    ``>= threshold`` — so precision is exact and only recall is
+    approximate, the standard LSH near-dup contract.
+
+    Scale shape (100 TB): signatures are one codegen'd expression per
+    row (no UDF, no shuffle); the band self-join shuffles on the
+    (band, key) composite — band_bits tunes candidate volume against
+    recall; the re-rank joins vectors back by id (hash join on the id
+    key, AQE-skew-safe) and evaluates one fold per surviving pair. The
+    sequential fold keeps every arithmetic step bit-equal to the DuckDB
+    oracle twin (contract.py q29).
+    """
+    bands = planes // band_bits
+    mask = (1 << band_bits) - 1
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_expr(vec_col, dim, planes).alias("bucket"),
+        vec_norm_expr(vec_col).alias("nrm"),
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright("bucket", band_bits * i).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "key"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sig.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = sig.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", pair_cosine_expr("va", "vb", "na", "nb"))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
