@@ -274,8 +274,14 @@ def write_baseline_md(
             "tasks balanced and busy). The two-cluster-size criterion is",
             "therefore evidenced on the N=1 -> 4N=4 pair, where the hardware",
             "itself can deliver 4x; local[32] is reported as the peak level.",
-            "Bursty hypervisor steal (up to ~20% in /proc/stat) adds run-to-",
-            "run noise; per-round walls are in the BENCH json.",
+            "Host interference adds ~1.6x run-to-run noise (worst at 1",
+            "core, where one descheduled thread stalls everything): /proc/",
+            "stat steal is measured per trial (`trials_steal_pct` in the",
+            "BENCH json) and is sometimes ~0 while throughput still swings,",
+            "pointing at co-tenant memory-bandwidth/SMT contention rather",
+            "than CPU steal alone. Hence best-of-3 INTERLEAVED trials on",
+            "the criterion pair; all trials + per-round walls are in the",
+            "BENCH json.",
         ]
         if control:
             lines += [

@@ -49,3 +49,95 @@ def test_link_extraction_stream(spark, tmp_path):
     assert {"url_canon", "host", "src_tag", "is_requisite", "via_url"} <= cols
     # canonical URLs only (no fragments survive canonicalization)
     assert links.filter(links.url_canon.contains("#")).count() == 0
+
+
+def test_stateful_politeness_budget(spark, tmp_path):
+    """applyInPandasWithState: per-host admission totals carry across
+    micro-batches AND across a query restart (checkpointed state)."""
+    from track0_spark.streaming import politeness
+
+    landing = str(tmp_path / "cand")
+    out = str(tmp_path / "adm")
+    ckpt = str(tmp_path / "ckpt3")
+    schema = "host string, url string, fetch_seq bigint"
+
+    def cand_rows(host, lo, hi):
+        return [(host, f"http://{host}/p/{i}", i) for i in range(lo, hi)]
+
+    # batch 1: h0 gets 4 candidates, h1 gets 2 (budget = 5 per host)
+    spark.createDataFrame(
+        cand_rows("h0", 0, 4) + cand_rows("h1", 0, 2), schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    politeness.run_admission(stream, budget=5, out_dir=out, checkpoint_dir=ckpt)
+    got1 = spark.read.parquet(out).collect()
+    assert all(r["admitted"] for r in got1)  # under budget everywhere
+    assert max(r["host_total"] for r in got1 if r["host"] == "h0") == 4
+
+    # batch 2 (RESTARTED query, same checkpoint): h0 sends 3 more ->
+    # only 1 admitted (4+1=5 hits the budget); h1 sends 2 -> both admitted
+    spark.createDataFrame(
+        cand_rows("h0", 4, 7) + cand_rows("h1", 2, 4), schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    politeness.run_admission(stream, budget=5, out_dir=out, checkpoint_dir=ckpt)
+    got2 = [r for r in spark.read.parquet(out).collect() if r not in got1]
+    h0 = sorted(
+        (r for r in spark.read.parquet(out).collect() if r["host"] == "h0"),
+        key=lambda r: r["fetch_seq"],
+    )
+    assert [r["admitted"] for r in h0] == [True] * 5 + [False, False]
+    assert [r["host_total"] for r in h0] == [1, 2, 3, 4, 5, 5, 5]
+    h1 = sorted(
+        (r for r in spark.read.parquet(out).collect() if r["host"] == "h1"),
+        key=lambda r: r["fetch_seq"],
+    )
+    assert [r["admitted"] for r in h1] == [True] * 4
+
+
+def test_watermark_window_metrics(spark, tmp_path):
+    """Windowed agg + watermark: windows emit exactly once when the
+    watermark passes their end; events later than max_lateness are
+    dropped, not double-counted."""
+    import datetime as dt
+
+    from track0_spark.streaming import windowed
+
+    landing = str(tmp_path / "events")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt4")
+
+    def ts(sec):
+        return dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    def land(rows):
+        spark.createDataFrame(rows, windowed.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.schema(windowed.EVENT_SCHEMA).parquet(landing)
+        windowed.run_window_metrics(stream, out, ckpt)
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []  # sink dir not created until first non-empty batch
+
+    # drain 1: events in window [0, 60) — watermark still 0, nothing
+    # finalized yet
+    got = land([("hA", ts(10), 100), ("hA", ts(15), 100), ("hB", ts(12), 50)])
+    assert got == []
+    # drain 2: t=200 moves the watermark to 170; the engine's no-data
+    # batch then finalizes [0,60) within this same drain
+    got = land([("hA", ts(200), 10)])
+    key = lambda r: (r["host"], int(r["win_start"].timestamp()) % 3600)  # noqa: E731
+    rows = {key(r): r for r in got}
+    assert set(rows) == {("hA", 0), ("hB", 0)}
+    # drain 3: the t=30 straggler is older than the watermark (170) ->
+    # DROPPED, not re-aggregated into the already-emitted [0,60);
+    # t=400 moves the watermark to 370, closing t=200's window [180,240)
+    got = land([("hA", ts(30), 999), ("hA", ts(400), 10)])
+    rows = {key(r): r for r in got}
+    assert set(rows) == {("hA", 0), ("hB", 0), ("hA", 180)}
+    assert rows[("hA", 0)]["fetches"] == 2  # straggler NOT counted
+    assert rows[("hA", 0)]["bytes"] == 200
+    assert rows[("hB", 0)]["fetches"] == 1
+    assert rows[("hA", 180)]["fetches"] == 1 and rows[("hA", 180)]["bytes"] == 10

@@ -433,11 +433,17 @@ FROM s
 
 
 def q20_jaccard_pairs(spark, sf):
-    """N-gram Jaccard near-dup candidate pairs on a deterministic doc
-    subset (all-pairs; the LSH-bucketed variant is the scale path)."""
+    """N-gram Jaccard near-dup candidate pairs — the EXACT all-pairs
+    verification baseline (q24's banded LSH is the scale path). Exact
+    all-pairs is only ever sane on a bounded slice, so the bound is part
+    of the operator: the first 200 doc_ids of the zh slice — O(200^2)
+    work at ANY table size (the cap doesn't bind at sf0.01, where the
+    zh slice has 75 docs)."""
     d = (
         T(spark, sf, "documents")
         .filter(F.col("lang") == "zh")
+        .orderBy("doc_id")
+        .limit(200)
         .withColumn("words", F.split(F.trim("text"), r"\s+"))
         .filter(F.size("words") >= 3)
         .withColumn("sh", F.array_distinct(F.expr(_SHINGLE_EXPR)))
@@ -462,7 +468,8 @@ WITH d AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-        FROM documents WHERE lang = 'zh')
+        FROM (SELECT doc_id, text FROM documents WHERE lang = 'zh'
+              ORDER BY doc_id LIMIT 200))
   WHERE len(words) >= 3)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -870,6 +877,59 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM scored WHERE cosine >= 0.35
 Q29_SQL = _q29_sql()
 
 
+def q30_clean_pipeline(spark, sf):
+    """Composite training-data cleaning pipeline: token-count band
+    filter -> exact dedup by portable fingerprint (min doc_id wins,
+    hash-agg + join-back, no sort) -> per-lang corpus stats. Shows the
+    operators composing end-to-end the way a real cleaning job chains
+    them; every stage stays whole-stage-codegen (zero Python)."""
+    from .operators.textstats import fingerprint_expr, token_count_expr
+
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    q = (
+        d.withColumn("n_tokens", token_count_expr("text"))
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80))
+        .withColumn("fp", fingerprint_expr("text"))
+        .select("doc_id", "lang", "n_tokens", "fp")
+    )
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(keep, ["fp", "doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("kept_docs"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        F.round(F.sum("n_tokens") / F.count("*"), 4).alias("avg_tokens"),
+    )
+
+
+def _q30_sql() -> str:
+    from .operators.textstats import FP_MOD, FP_MUL
+
+    fp = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> {duck_char_hash('t')})), "
+        f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {fp} AS fp
+  FROM documents),
+f AS (SELECT * FROM q WHERE n_tokens BETWEEN 20 AND 80),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+k AS (SELECT f.* FROM f JOIN keep USING (fp, doc_id))
+SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+FROM k GROUP BY lang
+"""
+
+
+Q30_SQL = _q30_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -904,6 +964,7 @@ QUERIES = {
     "q27_ann_lsh": (q27_ann_lsh, Q27_SQL),
     "q28_revisit_merge": (q28_revisit_merge, Q28_SQL),
     "q29_cosine_near_dup": (q29_cosine_near_dup, Q29_SQL),
+    "q30_clean_pipeline": (q30_clean_pipeline, Q30_SQL),
 }
 
 

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: per-host politeness accounting
+over a stream of fetch candidates (``applyInPandasWithState``).
+
+The batch crawl enforces its politeness budget per-round inside the BSP
+loop (operators/topk.py). One layer down, a continuously-arriving
+candidate feed (e.g. the link-extraction stream in ingest.py) needs the
+same admission decision WITHOUT a round barrier: admit a host's
+candidates until that host's cumulative budget is exhausted, carrying
+the running count across micro-batches. No built-in streaming
+aggregation can express this — admission depends on the running total
+*in arrival order* — so it is the textbook case for a custom stateful
+operator: ``groupBy(host).applyInPandasWithState``.
+
+State per host is a single running total (one BIGINT — checkpointed by
+the engine, so a killed stream resumes with exact counts; the test
+restarts the query and checks continuity). Within a micro-batch,
+candidates are processed in ``fetch_seq`` order, making admission
+deterministic for any batch slicing that respects fetch_seq order
+(the file-source provides this: files land in sequence).
+
+Scale posture: state is O(#hosts) — tiny even at 10^8 hosts; the
+shuffle is the same host-keyed exchange the batch politeness operator
+uses, and skewed hosts cost one group's pandas pass, bounded by the
+budget cutoff (rows after exhaustion are emitted with admitted=false,
+not buffered).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "host string, url string, fetch_seq bigint, admitted boolean, "
+    "host_total bigint"
+)
+STATE_SCHEMA = "total bigint"
+
+
+def _admit_fn(budget: int):
+    def admit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        total = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "fetch_seq", kind="mergesort"
+        )
+        admitted = []
+        totals = []
+        for _ in range(len(batch)):
+            ok = total < budget
+            if ok:
+                total += 1
+            admitted.append(ok)
+            totals.append(total)
+        state.update((int(total),))
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url": batch["url"].to_numpy(),
+                "fetch_seq": batch["fetch_seq"].to_numpy(),
+                "admitted": admitted,
+                "host_total": totals,
+            }
+        )
+
+    return admit
+
+
+def admit_candidates_stream(
+    candidates: DataFrame, budget: int
+) -> DataFrame:
+    """Admit up to ``budget`` fetches per host over the stream's
+    lifetime; every candidate row is emitted with its admission verdict
+    and the host's running total after it (append mode, no timeout —
+    politeness state never expires while the crawl runs)."""
+    return candidates.groupBy("host").applyInPandasWithState(
+        _admit_fn(budget),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_admission(
+    candidates: DataFrame, budget: int, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain pending candidates through the stateful admission operator
+    into a parquet sink, then stop (availableNow). Re-running with the
+    same checkpoint resumes host totals exactly where they left off."""
+    q = (
+        admit_candidates_stream(candidates, budget)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
