@@ -153,3 +153,17 @@ def test_compaction_preserves_crawl_and_resume(spark, web_rows, oracle_log, tmp_
     assert base is not None
     n_compacted = loop2.store.load_seen(summary.rounds).count()
     assert n_compacted == len(oseen)
+
+
+def test_cuckoo_gate_identical_output(spark, web_rows, oracle_log, tmp_path):
+    """gate="cuckoo" (deletable seen-gate variant) must not change any
+    output row — same exactness contract as the Bloom gate."""
+    olog, _ = oracle_log
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(
+        spark, make_cfg(), pages, str(tmp_path / "ckpt5"), gate="cuckoo"
+    )
+    loop.run(max_rounds=5)
+    got = spark_log_rows(loop)
+    exp = [t for t in oracle_log_rows(olog) if t[0] < 5]
+    assert got == exp

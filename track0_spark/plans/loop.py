@@ -49,6 +49,7 @@ class CrawlLoop:
         bloom: bool = True,
         bloom_expected_keys: int = 2_000_000,
         compact_every: int = 0,
+        gate: str = "bloom",
     ):
         self.spark = spark
         self.cfg = cfg
@@ -63,6 +64,13 @@ class CrawlLoop:
         self.partition_metrics = partition_metrics
         self.use_bloom = bloom
         self.bloom_expected_keys = bloom_expected_keys
+        #: which approximate seen-gate structure to build: "bloom"
+        #: (default — vectorized OR build, bit-identical incremental/
+        #: distributed) or "cuckoo" (deletable; operators/cuckoo.py).
+        #: Both preserve exactness by construction; the probe interface
+        #: is identical so the round plan never knows which it got.
+        assert gate in ("bloom", "cuckoo")
+        self.gate_kind = gate
         #: compact the fragmented seen deltas every K committed rounds
         #: (0 = off). Pure optimization: load_seen output is identical
         #: (sources/snapshot.py compact_seen); bounds resume cost over
@@ -77,12 +85,21 @@ class CrawlLoop:
         bit-identical to incrementally adding every delta driver-side
         (shared bucket_bitmap kernel; asserted in tests/test_bloom.py).
         Per-round maintenance stays the O(delta) incremental add in
-        ``run``."""
+        ``run``. With gate="cuckoo" the same pattern builds per-bucket
+        cuckoo tables instead (layout is order-dependent, membership
+        semantics — no false negatives — is not; tests assert the crawl
+        output is invariant)."""
+        seen = self.store.load_seen(upto_round).select("url_h64")
+        if self.gate_kind == "cuckoo":
+            from ..operators.cuckoo import build_cuckoo_distributed
+
+            return build_cuckoo_distributed(
+                seen, expected_keys=self.bloom_expected_keys
+            )
         from ..operators.bloom import build_bloom_distributed
 
         return build_bloom_distributed(
-            self.store.load_seen(upto_round).select("url_h64"),
-            expected_keys=self.bloom_expected_keys,
+            seen, expected_keys=self.bloom_expected_keys
         )
 
     def _part_counts(self, df: DataFrame) -> list:
