@@ -204,14 +204,17 @@ def gen_pages(profile: WebProfile) -> list[dict]:
 
 
 def gen_robots_rows(profile: WebProfile) -> list[tuple]:
-    """(host, disallow_prefixes, crawl_delay_s, budget) fixture rows.
+    """(host, disallow_prefixes, crawl_delay_s, budget, allow) rows.
 
     h0 disallows the /p/1 prefix range (so /p/1, /p/10.., /p/100.. are
-    off-limits); h1 gets a tight budget of 3/round so politeness
-    ordering is visible in the crawl order (FIXTURES.md §2).
+    off-limits) BUT allows /p/10 back in (longest-match: /p/10,
+    /p/100..109 re-admitted; /p/1, /p/11..19, /p/110.. stay blocked) —
+    exercising RFC 9309 longest-match resolution in every crawl test;
+    h1 gets a tight budget of 3/round so politeness ordering is visible
+    in the crawl order (FIXTURES.md §2).
     """
     rows = [
-        (host_name(0), ["/p/1"], 0.0, None),
+        (host_name(0), ["/p/1"], 0.0, None, ["/p/10"]),
         (host_name(1), [], 0.0, 3),
     ]
     return [r for r in rows if int(r[0].split(".")[0][1:]) < profile.hosts]

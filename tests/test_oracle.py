@@ -85,6 +85,43 @@ def test_robots_disallow_prefix():
     assert [r["url_canon"] for r in log] == ["http://a.test/0", "http://a.test/q/2"]
 
 
+def test_robots_longest_match_allow():
+    """RFC 9309 longest-match: Allow re-admits inside a Disallow range;
+    a longer Disallow still wins; equal lengths resolve to Allow."""
+    pages = {
+        "http://a.test/0": (
+            '<a href="/p/1">a</a><a href="/p/10">b</a>'
+            '<a href="/p/105">c</a><a href="/p/11">d</a>'
+            '<a href="/p/10/deep/x">e</a><a href="/tie">f</a>'
+        )
+    }
+    store = mini_store(pages)
+    robots = RobotsTable.from_rows(
+        [("a.test", ["/p/1", "/p/10/deep", "/tie"], 0.0, None,
+          ["/p/10", "/tie"])]
+    )
+    log, _ = run(store, ["http://a.test/0"], robots=robots)
+    got = sorted(r["url_canon"] for r in log)
+    # /p/1 blocked (disallow /p/1 only match); /p/10 + /p/105 allowed
+    # (allow /p/10 longer than disallow /p/1); /p/11 blocked;
+    # /p/10/deep/x blocked (disallow /p/10/deep longest); /tie allowed
+    # (equal length -> Allow wins)
+    assert got == sorted(
+        ["http://a.test/0", "http://a.test/p/10", "http://a.test/p/105",
+         "http://a.test/tie"]
+    )
+
+
+def test_robots_pure_semantics():
+    t = RobotsTable.from_rows(
+        [("h.test", ["/a"], 0.0, None, ["/a/b"])]
+    )
+    assert not t.allowed("h.test", "/a/x")
+    assert t.allowed("h.test", "/a/b/x")
+    assert t.allowed("h.test", "/c")
+    assert t.allowed("other.test", "/a/x")  # absent host allows all
+
+
 def test_depth_rule_stops_descent():
     store = mini_store(
         {

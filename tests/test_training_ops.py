@@ -180,3 +180,19 @@ def test_cosine_near_dup_pairs(vectors):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= 0.9 - 1e-9  # exact precision
         assert r["cosine"] == pytest.approx(cos, abs=1e-6)
+
+
+def test_ivf_topk_recall_and_cells(vectors):
+    """The query's own vector must be found via its probed cells; every
+    cell id is within [1, cells]; cells partition the whole table."""
+    df, rows = vectors
+    celled = similarity.with_ivf_cell(df, "vec", dim=16, cells=8)
+    cells = [r["cell"] for r in celled.select("cell").collect()]
+    assert all(1 <= c <= 8 for c in cells)
+    assert len(cells) == len(rows)  # every vector gets exactly one cell
+    q = rows[17][1]
+    top = similarity.ivf_topk(
+        celled, "vec_id", "vec", q, dim=16, cells=8, nprobe=2, k=5
+    ).collect()
+    assert top[0]["vec_id"] == 17  # its own cell is always the nearest
+    assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)

@@ -930,6 +930,64 @@ FROM k GROUP BY lang
 Q30_SQL = _q30_sql()
 
 
+def q31_ann_ivf(spark, sf):
+    """IVF-flat approximate top-k cosine (the second scale path next to
+    q27's LSH): frozen seeded codebook, native argmin cell assignment,
+    nprobe=4 probed cells, exact cosine inside them. Sequential folds +
+    first-min tie-break make the assignment oracle-hash-checkable."""
+    from .operators.similarity import ivf_topk, with_ivf_cell
+
+    e = T(spark, sf, "embeddings")
+    celled = with_ivf_cell(e, "embedding", dim=64, cells=16)
+    return ivf_topk(
+        celled, "vec_id", "embedding", _QVEC, dim=64, cells=16, nprobe=4, k=10
+    ).select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _q31_sql() -> str:
+    from .operators.similarity import (
+        _centroid_norms,
+        ivf_centroids,
+        query_cells,
+    )
+
+    C = ivf_centroids(64, 16)
+    norms = _centroid_norms(C)
+    dists = []
+    for c in range(16):
+        row = "[" + ", ".join(repr(float(v)) for v in C[c]) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({row})[i])), (a, x) -> a + x)"
+        )
+        dists.append(f"(-2.0 * ({dot}) + {norms[c]!r})")
+    dist_list = "[" + ", ".join(dists) + "]"
+    probe = ", ".join(str(c) for c in query_cells(_QVEC, 64, 16, nprobe=4))
+    qnorm = repr(float(sum(v * v for v in _QVEC) ** 0.5))
+    qdot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({_QVEC_SQL})[i])), (a, x) -> a + x)"
+    )
+    vnorm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
+        "(a, x) -> a + x))"
+    )
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {dist_list} AS dl FROM embeddings),
+c AS (SELECT vec_id, embedding, list_position(dl, list_min(dl)) AS cell FROM d)
+SELECT vec_id, round(({qdot}) / (({vnorm}) * {qnorm}), 4) AS score
+FROM c WHERE cell IN ({probe})
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+Q31_SQL = _q31_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -965,6 +1023,7 @@ QUERIES = {
     "q28_revisit_merge": (q28_revisit_merge, Q28_SQL),
     "q29_cosine_near_dup": (q29_cosine_near_dup, Q29_SQL),
     "q30_clean_pipeline": (q30_clean_pipeline, Q30_SQL),
+    "q31_ann_ivf": (q31_ann_ivf, Q31_SQL),
 }
 
 

@@ -243,3 +243,93 @@ def cosine_near_dup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------- IVF --------------------------------------
+
+
+def ivf_centroids(dim: int, cells: int) -> np.ndarray:
+    """Frozen coarse-quantizer codebook (seeded — deterministic across
+    engines and cluster sizes). In production the codebook comes from
+    k-means over an ingest sample; freezing a seeded one here keeps the
+    assignment a pure function so the DuckDB oracle can replay it. The
+    plumbing — cell assignment, inverted-list partitioning, nprobe
+    probing — is identical either way."""
+    rng = np.random.RandomState(SEED + 1)
+    return rng.standard_normal((cells, dim)).astype(np.float64)
+
+
+def _centroid_norms(C: np.ndarray) -> list[float]:
+    """||c||^2 per centroid via the same sequential left fold every
+    engine uses (bit-equal constants embedded as literals)."""
+    out = []
+    for row in C:
+        acc = 0.0
+        for x in row:
+            acc += float(x) * float(x)
+        out.append(acc)
+    return out
+
+
+def ivf_cell_expr(vec_col: str, dim: int, cells: int = 16):
+    """1-based nearest-centroid cell id as a native Column: argmin over
+    ``-2*dot(v,c) + ||c||^2`` (the ||v||^2 term is constant per row).
+    Sequential folds keep every distance bit-equal to the DuckDB twin;
+    first-minimum wins ties in both engines (array_position /
+    list_position)."""
+    C = ivf_centroids(dim, cells)
+    norms = _centroid_norms(C)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scores = []
+    for c in range(cells):
+        row = F.array(*[F.lit(float(v)) for v in C[c]])
+        dot = F.aggregate(
+            F.zip_with(emb, row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        scores.append(F.lit(-2.0) * dot + F.lit(norms[c]))
+    arr = F.array(*scores)
+    return F.array_position(arr, F.array_min(arr)).cast("int")
+
+
+def with_ivf_cell(df: DataFrame, vec_col: str, dim: int, cells: int = 16) -> DataFrame:
+    """Assign every vector its inverted-list cell. At 100 TB the cell id
+    is a partition key: a probe reads only nprobe of `cells` partitions
+    (storage-level pruning), exactly like the LSH bucket column."""
+    return df.withColumn("cell", ivf_cell_expr(vec_col, dim, cells))
+
+
+def query_cells(
+    query: list[float], dim: int, cells: int = 16, nprobe: int = 4
+) -> list[int]:
+    """The nprobe nearest cells for a query (same fold arithmetic as
+    ivf_cell_expr, evaluated in plain Python — engine-agnostic)."""
+    C = ivf_centroids(dim, cells)
+    norms = _centroid_norms(C)
+    dists = []
+    for c in range(cells):
+        acc = 0.0
+        for x, y in zip(query, C[c]):
+            acc += float(x) * float(y)
+        dists.append((-2.0 * acc + norms[c], c + 1))
+    dists.sort()
+    return sorted(cell for _, cell in dists[:nprobe])
+
+
+def ivf_topk(
+    celled: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-flat approximate top-k: exact cosine only inside the nprobe
+    probed cells. ``cell IN (...)`` is a pushable partition-prune
+    predicate, the same scale shape as ann_topk_lsh."""
+    probe = query_cells(query, dim, cells, nprobe)
+    cand = celled.filter(F.col("cell").isin(probe))
+    return brute_force_topk(cand, id_col, vec_col, query, k)

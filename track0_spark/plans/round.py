@@ -78,7 +78,13 @@ class RoundPlanner:
         self.stop_col = compile_rules(cfg.stop, DEFAULTS["stop"], hosts, prefixes)
         self.robots_df = spark.createDataFrame(
             [
-                (p.host, list(p.disallow_prefixes), p.crawl_delay_s, p.budget_per_round)
+                (
+                    p.host,
+                    list(p.disallow_prefixes),
+                    p.crawl_delay_s,
+                    p.budget_per_round,
+                    list(p.allow_prefixes),
+                )
                 for p in cfg.robots.policies.values()
             ],
             schema=ROBOTS,
@@ -238,14 +244,29 @@ class RoundPlanner:
         # R1-R11: @follow pipeline — codegen'd, pushes down
         cand = cand.filter(self.follow_col)
 
-        # P3: robots disallow prefixes (broadcast, native higher-order fn)
-        robots = F.broadcast(self.robots_df.select("host", "disallow_prefixes"))
-        cand = cand.join(robots, "host", "left").filter(
-            F.col("disallow_prefixes").isNull()
-            | ~F.exists(
-                "disallow_prefixes", lambda p: F.col("path").startswith(p)
+        # P3: robots longest-match Allow/Disallow (broadcast, native
+        # higher-order fns — the same RFC 9309 §2.2.2 resolution as
+        # track0s/robots.py: longest matching prefix wins, Allow on tie,
+        # absent host allows everything)
+        robots = F.broadcast(
+            self.robots_df.select("host", "disallow_prefixes", "allow_prefixes")
+        )
+
+        def best_match(col: str):
+            lens = F.transform(
+                F.filter(F.col(col), lambda p: F.col("path").startswith(p)),
+                lambda p: F.length(p),
             )
-        ).drop("disallow_prefixes")
+            return F.coalesce(F.array_max(lens), F.lit(-1))
+
+        cand = (
+            cand.join(robots, "host", "left")
+            .filter(
+                F.col("disallow_prefixes").isNull()
+                | (best_match("allow_prefixes") >= best_match("disallow_prefixes"))
+            )
+            .drop("disallow_prefixes", "allow_prefixes")
+        )
         # D1's min+join-back reads the candidate set twice; cache it so
         # the extraction UDF (the round's expensive Python pass) runs once
         cand_cached = cand.persist()

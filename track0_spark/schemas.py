@@ -87,6 +87,7 @@ ROBOTS = T.StructType(
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
         T.StructField("crawl_delay_s", T.DoubleType()),
         T.StructField("budget_per_round", T.IntegerType()),
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType())),
     ]
 )
 

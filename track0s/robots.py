@@ -1,16 +1,23 @@
-"""robots.txt politeness semantics — v1: prefix-Disallow only.
+"""robots.txt politeness semantics — longest-match Allow/Disallow.
 
-Normative v1 semantics (SURVEY.md §2.6 P3): a URL is disallowed for a
-host iff its canonical path starts with any of that host's
-``disallow_prefixes``. Longest-match Allow/Disallow resolution is a
-documented post-v1 extension. ``crawl_delay_s`` maps to the per-round
-``budget_per_round`` politeness budget in the BSP model (there is no
-wall-clock inside a deterministic batch round; BASELINE.json:14's
-"politeness budget" is the knob the acceptance bar fixes).
+Normative semantics (SURVEY.md §2.6 P3, upgraded round 2 from the v1
+prefix-Disallow-only rule): for a URL's canonical path, find the
+longest matching prefix among the host's ``allow_prefixes`` and
+``disallow_prefixes``; the URL is allowed iff the longest match is an
+Allow, or nothing matches. Equal lengths resolve to Allow — the
+Google REP tie-break (public spec, RFC 9309 §2.2.2). Hosts absent
+from the table allow everything.
+
+``crawl_delay_s`` maps to the per-round ``budget_per_round`` politeness
+budget in the BSP model (there is no wall-clock inside a deterministic
+batch round; BASELINE.json:14's "politeness budget" is the knob the
+acceptance bar fixes).
 
 Shared verbatim by the oracle and by the Spark plan, where the same
-predicate is expressed natively as
-``F.exists(disallow_prefixes, lambda p: path.startswith(p))``.
+longest-match is expressed natively: per list,
+``coalesce(array_max(transform(filter(prefixes, p ->
+startswith(path, p)), p -> length(p))), -1)`` — allowed iff
+best_allow >= best_disallow (plans/round.py P3).
 """
 
 from __future__ import annotations
@@ -26,6 +33,16 @@ class HostPolicy:
     disallow_prefixes: tuple[str, ...] = ()
     crawl_delay_s: float = 0.0
     budget_per_round: int = DEFAULT_BUDGET
+    allow_prefixes: tuple[str, ...] = ()
+
+
+def _best_match(path: str, prefixes: tuple[str, ...]) -> int:
+    """Length of the longest prefix matching ``path`` (-1 if none)."""
+    best = -1
+    for p in prefixes:
+        if path.startswith(p) and len(p) > best:
+            best = len(p)
+    return best
 
 
 @dataclass
@@ -37,20 +54,27 @@ class RobotsTable:
         return self.policies.get(host) or HostPolicy(host, (), 0.0, self.default_budget)
 
     def allowed(self, host: str, path: str) -> bool:
-        return not any(path.startswith(p) for p in self.policy(host).disallow_prefixes)
+        pol = self.policy(host)
+        return _best_match(path, pol.allow_prefixes) >= _best_match(
+            path, pol.disallow_prefixes
+        )
 
     def budget(self, host: str) -> int:
         return self.policy(host).budget_per_round
 
     @staticmethod
     def from_rows(rows, default_budget: int = DEFAULT_BUDGET) -> "RobotsTable":
-        """rows: iterable of (host, disallow_prefixes, crawl_delay_s, budget)."""
+        """rows: (host, disallow_prefixes, crawl_delay_s, budget) or the
+        5-field form with a trailing allow_prefixes list."""
         t = RobotsTable(default_budget=default_budget)
-        for host, prefixes, delay, budget in rows:
+        for row in rows:
+            host, prefixes, delay, budget = row[:4]
+            allow = tuple(row[4]) if len(row) > 4 and row[4] else ()
             t.policies[host] = HostPolicy(
                 host,
                 tuple(prefixes or ()),
                 float(delay or 0.0),
                 int(budget) if budget is not None else default_budget,
+                allow,
             )
         return t
