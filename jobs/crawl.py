@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
     ap.add_argument("--no-bloom", action="store_true", help="disable the bloom seen-gate")
     ap.add_argument(
+        "--gate",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="approximate seen-gate structure (cuckoo supports deletion)",
+    )
+    ap.add_argument(
         "--compact-every",
         type=int,
         default=0,
@@ -110,6 +116,7 @@ def main(argv=None) -> int:
             ckpt,
             salt=args.salt,
             bloom=not args.no_bloom,
+            gate=args.gate,
             partition_metrics=args.partition_metrics,
             compact_every=args.compact_every,
         )
