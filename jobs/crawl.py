@@ -88,14 +88,17 @@ def main(argv=None) -> int:
         else:
             ap.error("one of --pages / --profile required")
         if args.robots_parquet:
+            rdf = spark.read.parquet(args.robots_parquet)
+            has_allow = "allow_prefixes" in rdf.columns
             rows = [
                 (
                     r["host"],
                     list(r["disallow_prefixes"] or []),
                     r["crawl_delay_s"],
                     r["budget_per_round"],
+                    list(r["allow_prefixes"] or []) if has_allow else [],
                 )
-                for r in spark.read.parquet(args.robots_parquet).collect()
+                for r in rdf.collect()
             ]
             robots = RobotsTable.from_rows(rows, default_budget=args.budget)
 

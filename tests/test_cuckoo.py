@@ -70,3 +70,42 @@ def test_distributed_build_equivalent(spark):
     assert not dist.saturated.any()
     fresh = keys_of([f"http://z.test/{i}" for i in range(5000)])
     assert dist.might_contain_many(fresh).mean() < 0.02
+
+
+def test_delete_collision_no_false_negative():
+    """Regression (r2 review): two distinct keys sharing (bucket, fp,
+    i1) must BOTH survive membership after one of them is deleted —
+    add is non-idempotent, so each stores its own fingerprint copy."""
+    from track0_spark.operators.cuckoo import key_parts
+
+    c = PartitionedCuckoo(expected_keys=2_000_000)
+    rng = np.random.default_rng(7)
+    ks = rng.integers(0, 2**62, size=1_500_000, dtype=np.int64)
+    b, fp, i1, _ = key_parts(ks, c.n_buckets, c.n_rows)
+    combo = (
+        b.astype(np.int64) * (1 << 40)
+        + fp.astype(np.int64) * (1 << 20)
+        + i1.astype(np.int64)
+    )
+    _, idx, counts = np.unique(combo, return_index=True, return_counts=True)
+    dup_combo = combo[idx[counts > 1]][0]
+    pair = np.nonzero(combo == dup_combo)[0][:2]
+    k1, k2 = int(ks[pair[0]]), int(ks[pair[1]])
+    assert k1 != k2
+    c.add_many(np.array([k1, k2], dtype=np.int64))  # same sizing as search
+    assert c.n_keys == 2  # NON-idempotent: both copies stored
+    assert c.delete_many(np.array([k1], dtype=np.int64)) == 1
+    assert c.might_contain_many(np.array([k2], dtype=np.int64)).all()
+
+
+def test_design_load_not_saturated():
+    """Regression (r2 review): at the advertised design load no bucket
+    may saturate, and fresh keys must still be pruned (fp rate small) —
+    i1 must span the whole row space within every bucket."""
+    c = PartitionedCuckoo(expected_keys=200_000)
+    rng = np.random.default_rng(11)
+    c.add_many(rng.integers(0, 2**62, size=200_000, dtype=np.int64))
+    assert not c.saturated.any()
+    assert 0.5 < c.fill_ratio() <= 1.0  # rows actually reachable
+    fresh = rng.integers(0, 2**62, size=50_000, dtype=np.int64)
+    assert c.might_contain_many(fresh).mean() < 0.05

@@ -128,7 +128,12 @@ def test_watermark_window_metrics(spark, tmp_path):
     # drain 2: t=200 moves the watermark to 170; the engine's no-data
     # batch then finalizes [0,60) within this same drain
     got = land([("hA", ts(200), 10)])
-    key = lambda r: (r["host"], int(r["win_start"].timestamp()) % 3600)  # noqa: E731
+    # seconds since the fixture epoch (naive-naive subtraction: immune
+    # to the host timezone, unlike timestamp() % 3600)
+    key = lambda r: (  # noqa: E731
+        r["host"],
+        int((r["win_start"] - ts(0)).total_seconds()),
+    )
     rows = {key(r): r for r in got}
     assert set(rows) == {("hA", 0), ("hB", 0)}
     # drain 3: the t=30 straggler is older than the watermark (170) ->

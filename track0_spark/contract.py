@@ -748,11 +748,15 @@ def _q27_sql() -> str:
         "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
         "(a, x) -> a + x))"
     )
+    # order by the UNROUNDED score (matching Spark's brute_force_topk,
+    # which ranks raw and rounds afterwards) — ordering by the rounded
+    # alias could pick a different top-k set on sub-1e-4 ties
     return f"""
-WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
-SELECT vec_id, round(({qdot}) / (({vnorm}) * {qnorm}), 4) AS score
-FROM b WHERE bucket IN ({probe_sql})
-ORDER BY score DESC, vec_id ASC LIMIT 10
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings),
+r AS (SELECT vec_id, ({qdot}) / (({vnorm}) * {qnorm}) AS raw
+      FROM b WHERE bucket IN ({probe_sql}))
+SELECT vec_id, round(raw, 4) AS score
+FROM (SELECT vec_id, raw FROM r ORDER BY raw DESC, vec_id ASC LIMIT 10) t
 """
 
 
@@ -976,12 +980,14 @@ def _q31_sql() -> str:
         "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), "
         "(a, x) -> a + x))"
     )
+    # unrounded ranking for the same reason as _q27_sql
     return f"""
 WITH d AS (SELECT vec_id, embedding, {dist_list} AS dl FROM embeddings),
-c AS (SELECT vec_id, embedding, list_position(dl, list_min(dl)) AS cell FROM d)
-SELECT vec_id, round(({qdot}) / (({vnorm}) * {qnorm}), 4) AS score
-FROM c WHERE cell IN ({probe})
-ORDER BY score DESC, vec_id ASC LIMIT 10
+c AS (SELECT vec_id, embedding, list_position(dl, list_min(dl)) AS cell FROM d),
+r AS (SELECT vec_id, ({qdot}) / (({vnorm}) * {qnorm}) AS raw
+      FROM c WHERE cell IN ({probe}))
+SELECT vec_id, round(raw, 4) AS score
+FROM (SELECT vec_id, raw FROM r ORDER BY raw DESC, vec_id ASC LIMIT 10) t
 """
 
 

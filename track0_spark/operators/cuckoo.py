@@ -40,6 +40,57 @@ import numpy as np
 
 MAX_KICKS = 500
 _PERM_MUL = np.uint64(0x5BD1E995)  # fp -> partner-row mix (MurmurHash2 M)
+_MIX_MUL = np.uint64(0x9E3779B97F4A7C15)  # key -> primary-row mix (2^64/phi)
+
+
+def key_parts(keys: np.ndarray, n_buckets: int, n_rows: int):
+    """(bucket, fp, i1, i2) for signed-int64 keys — the one routing
+    function, shared by the filter object and the distributed builder."""
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    bucket = (k % np.uint64(n_buckets)).astype(np.int64)
+    fp = ((k >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)  # 0 means empty slot
+    mask = np.uint64(n_rows - 1)
+    # primary row from a multiplicative mix of the WHOLE key — must be
+    # independent of the low bits that route the bucket (k % n_buckets):
+    # taking i1 = k & mask would leave only n_rows/n_buckets reachable
+    # rows per bucket and saturate the filter wholesale at a fraction of
+    # its design load.
+    i1 = ((k * _MIX_MUL) >> np.uint64(24) & mask).astype(np.int64)
+    mix = (fp.astype(np.uint64) * _PERM_MUL) & mask
+    i2 = (i1.astype(np.uint64) ^ mix).astype(np.int64)
+    return bucket, fp, i1, i2
+
+
+def _partner_row(row: int, fp: int, n_rows: int) -> int:
+    """Partner row for (row, fp) — partial-key cuckoo displacement."""
+    mix = int((np.uint64(fp) * _PERM_MUL) & np.uint64(n_rows - 1))
+    return row ^ mix
+
+
+def _insert_into(
+    tbl: np.ndarray, f: int, r1: int, r2: int, n_rows: int, slots: int
+) -> int:
+    """Store one fingerprint copy into a single bucket table (shared by
+    the incremental path and the distributed builder). Returns 1 if
+    stored, 0 if the eviction walk exceeded MAX_KICKS (caller marks the
+    bucket saturated). Deterministic victim choice (LCG on fp)."""
+    for r in (r1, r2):
+        empty = np.nonzero(tbl[r] == 0)[0]
+        if len(empty):
+            tbl[r, empty[0]] = f
+            return 1
+    r, state = r1, int(f)
+    for _ in range(MAX_KICKS):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        s = state % slots
+        f, tbl[r, s] = int(tbl[r, s]), f
+        r = _partner_row(r, f, n_rows)
+        empty = np.nonzero(tbl[r] == 0)[0]
+        if len(empty):
+            tbl[r, empty[0]] = f
+            return 1
+    return 0
 
 
 class PartitionedCuckoo:
@@ -64,53 +115,33 @@ class PartitionedCuckoo:
     # ---------------- key -> (bucket, fp, i1, i2) ----------------
 
     def _parts(self, keys: np.ndarray):
-        k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
-        bucket = (k % np.uint64(self.n_buckets)).astype(np.int64)
-        fp = ((k >> np.uint64(40)) & np.uint64(0xFFFF)).astype(np.uint16)
-        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 means empty slot
-        mask = np.uint64(self.n_rows - 1)
-        i1 = (k & mask).astype(np.int64)
-        i2 = self._partner(i1, fp)
-        return bucket, fp, i1, i2
-
-    def _partner(self, row: np.ndarray, fp: np.ndarray) -> np.ndarray:
-        mix = (fp.astype(np.uint64) * _PERM_MUL) & np.uint64(self.n_rows - 1)
-        return (row.astype(np.uint64) ^ mix).astype(np.int64)
+        return key_parts(keys, self.n_buckets, self.n_rows)
 
     # ---------------------- mutation ----------------------------
 
     def add_many(self, keys: np.ndarray) -> None:
+        """Insert keys. NON-idempotent by design (standard cuckoo
+        filter): distinct keys colliding on (bucket, fp, rows) each
+        store their own fingerprint copy, which is exactly what makes
+        ``delete_many`` sound — removing one key's copy never erases
+        another's. ``n_keys`` counts fingerprints actually stored."""
         if len(keys) == 0:
             return
         bucket, fp, i1, i2 = self._parts(keys)
         for b, f, r1, r2 in zip(bucket, fp, i1, i2):
-            self._insert_one(int(b), np.uint16(f), int(r1), int(r2))
-        self.n_keys += len(keys)
+            self.n_keys += self._insert_one(int(b), np.uint16(f), int(r1), int(r2))
 
-    def _insert_one(self, b: int, f: np.uint16, r1: int, r2: int) -> None:
+    def _insert_one(self, b: int, f: np.uint16, r1: int, r2: int) -> int:
+        """Returns 1 if a fingerprint copy was stored, 0 if the bucket
+        is (or just became) saturated and answers 'maybe' regardless."""
         if self.saturated[b]:
-            return  # bucket already answers "maybe" for everything
-        t = self.table[b]
-        for r in (r1, r2):
-            if f in t[r]:
-                return  # already present — idempotent add
-        for r in (r1, r2):
-            empty = np.nonzero(t[r] == 0)[0]
-            if len(empty):
-                t[r, empty[0]] = f
-                return
-        # eviction walk: deterministic victim choice (LCG on fp)
-        r, state = r1, int(f)
-        for _ in range(MAX_KICKS):
-            state = (state * 1103515245 + 12345) & 0x7FFFFFFF
-            s = state % self.slots
-            f, t[r, s] = t[r, s], f
-            r = int(self._partner(np.asarray([r]), np.asarray([f], np.uint16))[0])
-            empty = np.nonzero(t[r] == 0)[0]
-            if len(empty):
-                t[r, empty[0]] = f
-                return
-        self.saturated[b] = True  # degrade THIS bucket to exact-only
+            return 0  # bucket already answers "maybe" for everything
+        stored = _insert_into(
+            self.table[b], int(f), r1, r2, self.n_rows, self.slots
+        )
+        if not stored:
+            self.saturated[b] = True  # degrade THIS bucket to exact-only
+        return stored
 
     def delete_many(self, keys: np.ndarray) -> int:
         """Remove one stored fingerprint per key; returns #removed.
@@ -173,15 +204,24 @@ def build_cuckoo_distributed(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket"].iloc[0])
-        one = PartitionedCuckoo(expected_keys, n_buckets, slots)
         keys = np.sort(pdf["url_h64"].to_numpy(dtype=np.int64))
-        one.add_many(keys)
+        # allocate ONLY this bucket's table (not the full filter) and
+        # drive the same shared per-key insert kernel
+        tbl = np.zeros((n_rows, slots), dtype=np.uint16)
+        _bk, fp, i1, i2 = key_parts(keys, n_buckets, n_rows)
+        stored, sat = 0, False
+        for f, r1, r2 in zip(fp, i1, i2):
+            if sat:
+                break
+            ok = _insert_into(tbl, int(f), int(r1), int(r2), n_rows, slots)
+            stored += ok
+            sat = not ok
         return pd.DataFrame(
             {
                 "bucket": [b],
-                "n_keys": [len(keys)],
-                "saturated": [bool(one.saturated[b])],
-                "tbl": [one.table[b].tobytes()],
+                "n_keys": [stored],
+                "saturated": [sat],
+                "tbl": [tbl.tobytes()],
             }
         )
 
