@@ -28,7 +28,11 @@ from urllib.parse import urljoin
 from track0s import canon, mime
 from track0s.config import CrawlConfig, priority_of
 from track0s.extract import decode_html, parse_css, parse_html
-from track0s.http import header_content_type, redirect_target
+from track0s.http import (
+    header_content_type,
+    redirect_target,
+    resolve_redirect,
+)
 from track0s.rules import evaluate
 
 
@@ -165,7 +169,9 @@ class OracleSpider:
                 # redirect resolution: ONE candidate at the SAME depth
                 # (a redirect is not a hop); passes the normal follow +
                 # robots + dedup gates like any discovered link
-                u = canon.canonicalize(urljoin(ls.url_canon, redir))
+                u = resolve_redirect(ls.url_canon, redir)
+                if u is None:
+                    continue  # off-policy target (mailto:/js:/fragment)
                 h = canon.host_of(u)
                 child = LinkState(
                     url_canon=u,

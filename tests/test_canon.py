@@ -29,6 +29,12 @@ CASES = [
     ("0 #", "0"),
     ("http://example.com/a #f", "http://example.com/a"),
     ("  0 # junk ", "0"),
+    # lazy urlsplit errors (port parses on ACCESS, inside the guard)
+    ("http://h.test:99999/p", "http://h.test:99999/p"),
+    ("http://h.test:8x/p", "http://h.test:8x/p"),
+    # IPv6 brackets restored (hostname strips them; output re-parses)
+    ("http://[2001:db8::1]/x", "http://[2001:db8::1]/x"),
+    ("http://[2001:DB8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
 ]
 
 

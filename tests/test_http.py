@@ -87,3 +87,50 @@ def test_header_overrides_extension_in_save(spark):
         from track0s.canon import path_of
 
         assert mime.content_type_for(path_of(r["url"])) == "text/html"
+
+
+def test_resolve_redirect_policy():
+    """Regression (r2 review): redirect targets get the SAME scheme
+    filtering as extracted links — no off-policy escape hatch."""
+    from track0s.http import resolve_redirect
+
+    base = "http://a.test/x"
+    assert resolve_redirect(base, "/y") == "http://a.test/y"
+    assert resolve_redirect(base, "HTTP://B.test/z") == "http://b.test/z"
+    for bad in ("mailto:x@y.test", "javascript:alert(1)", "data:text/html,hi",
+                "#frag", "", "  ", "ftp://a.test/f"):
+        assert resolve_redirect(base, bad) is None, bad
+
+
+def test_sniff_total_on_malformed_heads(spark):
+    """Regression (r2 review): the head sniff must be TOTAL — non-UTF-8
+    pages and a multibyte char split exactly at the window edge crashed
+    Spark's UTF-8 decode; latin-1 never fails and both twins agree."""
+    from track0s.http import SNIFF_BYTES, header_content_type, redirect_target
+    from track0_spark.functions.exprs import (
+        header_content_type_expr,
+        redirect_target_expr,
+    )
+
+    redirect = b'<meta http-equiv="refresh" content="0; url=/next">'
+    pages = [
+        b"\xff\xfe garbage " + redirect,                      # not UTF-8
+        b"x" * (SNIFF_BYTES - 1) + "é".encode("utf-8"),       # split char
+        "caf\xe9 ".encode("latin-1") + redirect,              # latin-1 page
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(pages)], "i int, html binary"
+    )
+    rows = (
+        df.select(
+            "i",
+            redirect_target_expr(F.col("html")).alias("r"),
+            header_content_type_expr(F.col("html")).alias("c"),
+        )
+        .orderBy("i")
+        .collect()
+    )  # must not raise
+    for row, page in zip(rows, pages):
+        assert row["r"] == redirect_target(page)
+        assert row["c"] == header_content_type(page)
+    assert rows[0]["r"] == "/next" and rows[2]["r"] == "/next"

@@ -205,3 +205,21 @@ def test_sf_unit_crawl_is_deterministic_and_nontrivial():
         )
         if child is not None:
             assert child["depth"] == r["depth"]
+
+
+def test_redirect_to_off_policy_scheme_dropped():
+    """A meta-refresh to mailto:/javascript: logs 301 but admits no
+    candidate (same filtering as <a href> links; r2 review)."""
+    store = mini_store(
+        {
+            "http://a.test/0": (
+                '<meta http-equiv="refresh" '
+                'content="0; url=mailto:x@y.test">'
+            ),
+        }
+    )
+    log, seen = run(store, ["http://a.test/0"])
+    assert [(r["url_canon"], r["status"]) for r in log] == [
+        ("http://a.test/0", 301)
+    ]
+    assert seen == {"http://a.test/0"}

@@ -101,3 +101,33 @@ def test_revisit_over_crawled_mirror(spark):
         assert bytes(r["html"]).endswith(b"<!-- v2 -->")
     for r in by_status.get("unchanged", []) + by_status.get("validated", []):
         assert not bytes(r["html"]).endswith(b"<!-- v2 -->")
+
+
+def test_revisit_duplicate_pages_rows(spark):
+    """Regression (r2 review): a pages snapshot with several fetches of
+    one url must yield exactly one output row per saved url — the
+    LATEST fetch wins (Iceberg MERGE cardinality semantics)."""
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators.revisit import revisit_merge, with_save_metadata
+
+    saved = with_save_metadata(
+        spark.createDataFrame(
+            [("u://1", bytearray(b"old"), 100)],
+            "url_canon string, html binary, warc_ts long",
+        )
+    )
+    pages = spark.createDataFrame(
+        [
+            ("u://1", bytearray(b"mid"), 150),
+            ("u://1", bytearray(b"new"), 200),  # latest fetch wins
+            ("u://1", bytearray(b"new"), 200),  # exact duplicate row
+        ],
+        "url string, html binary, warc_ts long",
+    )
+    out = revisit_merge(saved, pages).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["refetch_status"] == "modified"
+    assert bytes(r["html"]) == b"new"
+    assert r["last_modified"] == 200

@@ -196,3 +196,27 @@ def test_ivf_topk_recall_and_cells(vectors):
     ).collect()
     assert top[0]["vec_id"] == 17  # its own cell is always the nearest
     assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_minhash_short_docs_not_near_dups(spark):
+    """Regression (r2 review): unrelated no-shingle docs (under 3
+    words) all share the sentinel signature and must NOT be reported as
+    near-dup pairs — in either minhash variant."""
+    rows = [
+        (0, "hello world"),
+        (1, "foo bar"),
+        (2, ""),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    native = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_native_pairs(df, "doc_id", "text", 0.3).collect()
+    }
+    assert native == {(3, 4)}  # only the true duplicates
+    plug = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(df, "doc_id", "text", 0.3).collect()
+    }
+    assert plug == {(3, 4)}

@@ -597,15 +597,31 @@ def duck_char_hash(var: str, mul: int = _P.CHAR_MUL, bias: int = 0) -> str:
     )
 
 
+#: persisted signature DFs from the LAST q24/q25 call, unpersisted on
+#: the next call — bounds cache growth when one session sweeps all
+#: queries repeatedly (bench/check_contract), since a query fn returns
+#: a plan and cannot unpersist after its own materialization.
+_SIG_HANDLES: list = []
+
+
+def _rotate_handles(new: list) -> None:
+    while _SIG_HANDLES:
+        _SIG_HANDLES.pop().unpersist()
+    _SIG_HANDLES.extend(new)
+
+
 def q24_minhash_lsh_pairs(spark, sf):
     """MinHash+LSH near-dup pairs on documents — portable hash family,
     fully native Columns (zero Python), oracle-hash-checked."""
     from .operators.dedup import minhash_native_pairs
 
     d = T(spark, sf, "documents").select("doc_id", "text")
-    return minhash_native_pairs(d, "doc_id", "text", threshold=0.35).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")
-    )
+    handles: list = []
+    out = minhash_native_pairs(
+        d, "doc_id", "text", threshold=0.35, handles=handles
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    _rotate_handles(handles)
+    return out
 
 
 def _q24_sql() -> str:
@@ -627,7 +643,8 @@ sig AS (SELECT doc_id, list_transform({DUCK_PERMS_SQL}, p ->
               ELSE list_min(list_transform(hs, x -> (p[1]*x + p[2]) % {_P.MOD})) END) AS sig
        FROM hs),
 banded AS (SELECT doc_id, i - 1 AS band, ({bands})[i] AS key
-           FROM sig, range(1, {_P.NUM_BANDS + 1}) t(i)),
+           FROM sig, range(1, {_P.NUM_BANDS + 1}) t(i)
+           WHERE sig[1] <> {_P.EMPTY_SIG}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
                                      AND a.doc_id < b.doc_id),
@@ -649,7 +666,10 @@ def q25_simhash_near_pairs(spark, sf):
     from .operators.dedup import simhash_native_pairs
 
     d = T(spark, sf, "documents").select("doc_id", "text")
-    return simhash_native_pairs(d, "doc_id", "text", max_hamming=3)
+    handles: list = []
+    out = simhash_native_pairs(d, "doc_id", "text", max_hamming=3, handles=handles)
+    _rotate_handles(handles)
+    return out
 
 
 def _q25_sql() -> str:

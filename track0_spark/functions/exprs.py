@@ -42,9 +42,15 @@ def url_hash_expr(url_canon_col: Column) -> Column:
 
 
 def _head_expr(html_col: Column) -> Column:
-    """First SNIFF_BYTES of the body, UTF-8-with-replacement — the same
-    window ``track0s.http._head`` reads."""
-    return F.decode(F.substring(html_col, 1, SNIFF_BYTES), "UTF-8")
+    """First SNIFF_BYTES of the body decoded ISO-8859-1 — the same
+    window + charset as ``track0s.http._head``. Latin-1 because the
+    sniff must be TOTAL and twin-bit-identical: Spark's UTF-8 decode
+    throws MALFORMED_CHARACTER_CODING on any non-UTF-8 head (or a
+    multibyte char split at the window edge) and would abort the whole
+    round on one bad page, and Java/Python UTF-8 'replace' emit
+    different U+FFFD counts; latin-1 never fails and maps bytes 1:1
+    identically in both runtimes (the sniff regexes are ASCII)."""
+    return F.decode(F.substring(html_col, 1, SNIFF_BYTES), "ISO-8859-1")
 
 
 def redirect_target_expr(html_col: Column) -> Column:

@@ -86,7 +86,7 @@ def _extract_candidates_batches(
     """
     from urllib.parse import urljoin
 
-    from track0s.http import redirect_target
+    from track0s.http import redirect_target, resolve_redirect
 
     dtypes = {
         "url_canon": object,
@@ -136,8 +136,10 @@ def _extract_candidates_batches(
         ):
             if status == 301:
                 target = redirect_target(bytes(html))
-                if target is not None:
-                    uc = canonicalize(urljoin(url, target))
+                uc = (
+                    resolve_redirect(url, target) if target is not None else None
+                )
+                if uc is not None:  # off-policy targets emit nothing
                     emit(uc, "meta", "refresh", False, seq, 0,
                          url, host, depth, dd, True)
                 continue

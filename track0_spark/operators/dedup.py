@@ -214,7 +214,13 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(df, id_col, text_col, num_perm).persist()
     if handles is not None:
         handles.append(sig)
-    pairs = lsh_candidate_pairs(sig, bands, rows)
+    # docs with NO shingles (sentinel signature) cannot be near-dups by
+    # shingle definition — and all share one signature, so leaving them
+    # in makes the band join quadratic on that subset and reports
+    # unrelated short docs as est=1.0 pairs
+    pairs = lsh_candidate_pairs(
+        sig.filter(F.col("sig")[0] != F.lit(MERSENNE)), bands, rows
+    )
     est = minhash_estimated_similarity(sig, pairs)
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -288,7 +294,12 @@ def minhash_native_pairs(
     sig = minhash_native_signatures(df, id_col, text_col).persist()
     if handles is not None:
         handles.append(sig)
-    banded = sig.select(
+    # exclude no-shingle docs from banding (EMPTY_SIG = MOD is
+    # unreachable by any real minimum, so the test is exact): they all
+    # share the sentinel signature, which would otherwise band-join
+    # every short/empty doc against every other (O(n^2) on that subset)
+    # and report unrelated docs as est_jaccard=1.0 near-dups
+    banded = sig.filter(F.col("sig")[0] != F.lit(P.EMPTY_SIG)).select(
         "id", F.posexplode(F.expr(_band_keys_expr())).alias("band", "key")
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "key")

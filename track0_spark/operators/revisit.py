@@ -56,9 +56,27 @@ def revisit_merge(saved: DataFrame, pages: DataFrame) -> DataFrame:
         F.col("url").alias("url_canon"),
         F.col("html").alias("_new_html"),
         F.col("warc_ts").alias("_new_ts"),
-    ).hint("SHUFFLE_HASH")
+    )
+    # MERGE requires a UNIQUE source row per url (Iceberg MERGE INTO
+    # raises a cardinality violation otherwise; r2 review): a pages
+    # snapshot holding several fetches of one url keeps the LATEST
+    # (max warc_ts), tie-broken by min etag — hash aggregates +
+    # join-backs only, no sort, no min_by-over-payload. The final
+    # dropDuplicates is deterministic: surviving rows for a url are
+    # byte-identical in every selected column.
+    p = p.withColumn("_new_etag", F.md5("_new_html"))
+    latest = p.groupBy("url_canon").agg(F.max("_new_ts").alias("_new_ts"))
+    at_latest = p.join(latest, ["url_canon", "_new_ts"])
+    pick = at_latest.groupBy("url_canon", "_new_ts").agg(
+        F.min("_new_etag").alias("_new_etag")
+    )
+    p = (
+        at_latest.join(pick, ["url_canon", "_new_ts", "_new_etag"])
+        .dropDuplicates(["url_canon"])
+        .hint("SHUFFLE_HASH")
+    )
     j = saved.join(p, "url_canon", "left")
-    new_etag = F.md5(F.col("_new_html"))
+    new_etag = F.col("_new_etag")
     status = (
         F.when(F.col("_new_html").isNull(), F.lit("gone"))
         .when(F.col("_new_ts") <= F.col("last_modified"), F.lit("unchanged"))

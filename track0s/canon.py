@@ -100,11 +100,16 @@ def canonicalize(url: str) -> str:
         s = s[:i].strip()
     try:
         parts = urlsplit(s)
+        # .hostname/.port parse lazily and can themselves raise (e.g.
+        # 'http://h:99999/' out-of-range port, 'http://h:8x/') — they
+        # must be inside the total-function guard, not after it
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
     except ValueError:
         return s
-    scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
+    if ":" in host:
+        host = f"[{host}]"  # IPv6: .hostname strips brackets; restore
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

@@ -20,13 +20,13 @@ crawl preserves them:
   fallback, and the only guess available pre-fetch.
 
 NORMATIVE + FROZEN: detection reads the first ``SNIFF_BYTES`` bytes
-decoded UTF-8-with-replacement and applies the regexes below. The Spark
-plan evaluates the same window/patterns natively
-(``F.regexp_extract(F.decode(F.substring(html, 1, SNIFF_BYTES),
-'UTF-8')…)`` — track0_spark/functions/exprs.py), so oracle and engine
-agree byte-for-byte on the fixture corpus; pages whose declaration
-straddles the window boundary are out of fixture scope (FIXTURES.md §2,
-fixture version 2).
+decoded ISO-8859-1 (total + twin-bit-identical; see ``_head``) and
+applies the regexes below. The Spark plan evaluates the same window/
+patterns natively (``F.regexp_extract(F.decode(F.substring(html, 1,
+SNIFF_BYTES), 'ISO-8859-1')…)`` — track0_spark/functions/exprs.py), so
+oracle and engine agree byte-for-byte on ANY input; pages whose
+declaration straddles the window boundary are out of fixture scope
+(FIXTURES.md §2, fixture version 2).
 """
 
 from __future__ import annotations
@@ -52,7 +52,12 @@ _CONTENT_TYPE_RE = re.compile(CONTENT_TYPE_PATTERN)
 
 
 def _head(html: bytes) -> str:
-    return html[:SNIFF_BYTES].decode("utf-8", errors="replace")
+    # latin-1: total (never fails) and byte-identical across Python and
+    # the JVM — UTF-8-with-replacement is neither (Spark's decode throws
+    # on malformed heads; Java and Python emit different U+FFFD counts).
+    # The sniff regexes are ASCII, so matching is unaffected for valid
+    # pages; non-ASCII bytes inside a captured URL map 1:1 in both twins.
+    return html[:SNIFF_BYTES].decode("iso-8859-1")
 
 
 def redirect_target(html: bytes) -> str | None:
@@ -65,3 +70,30 @@ def header_content_type(html: bytes) -> str | None:
     """Declared in-band content-type (lowercased), or None."""
     m = _CONTENT_TYPE_RE.search(_head(html))
     return m.group(1).lower() if m else None
+
+
+def resolve_redirect(base_url: str, target: str) -> str | None:
+    """Canonicalized redirect destination, or None if the target fails
+    the SAME filtering every extracted link gets (fragment-only, skip
+    schemes like mailto:/javascript:/data:, non-http(s) result) — a
+    redirect may not drag the crawl off-policy through a gap the <a>
+    path does not have. Shared by the oracle spider and the Spark
+    extract UDF so the twins cannot drift."""
+    from urllib.parse import urljoin
+
+    from .canon import canonicalize
+    from .extract import _SKIP_SCHEMES
+
+    v = target.strip()
+    if not v or v.startswith("#"):
+        return None
+    low = v.lower()
+    if any(low.startswith(s) for s in _SKIP_SCHEMES):
+        return None
+    try:
+        absu = urljoin(base_url, v)
+    except ValueError:
+        return None
+    if not absu.lower().startswith(("http://", "https://")):
+        return None
+    return canonicalize(absu)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 BOOL_TESTS = frozenset(
     {
@@ -144,6 +145,16 @@ def _num_cmp(lhs: int, op: str, rhs: int) -> bool:
     return lhs == rhs
 
 
+@lru_cache(maxsize=64)
+def _seed_reg_domains(seed_hosts: frozenset) -> frozenset:
+    """Registered domains of the seed hosts — cached per seed set so the
+    oracle's per-link hot loop doesn't rebuild it every evaluation (the
+    Spark twin precomputes the same set at rule-compile time)."""
+    from .canon import registered_domain
+
+    return frozenset(registered_domain(s) for s in seed_hosts)
+
+
 def rule_matches(rule: Rule, attrs: dict) -> bool:
     """Does one rule's test match a link's attributes?
 
@@ -160,9 +171,9 @@ def rule_matches(rule: Rule, attrs: dict) -> bool:
         h = attrs.get("host")
         if h is None:
             return False
-        return registered_domain(h) in {
-            registered_domain(s) for s in attrs.get("seed_hosts", ())
-        }
+        return registered_domain(h) in _seed_reg_domains(
+            frozenset(attrs.get("seed_hosts", ()))
+        )
     if t == "same-domain":
         via = attrs.get("via_host")
         return via is not None and attrs.get("host") == via
