@@ -134,3 +134,43 @@ def test_sniff_total_on_malformed_heads(spark):
         assert row["r"] == redirect_target(page)
         assert row["c"] == header_content_type(page)
     assert rows[0]["r"] == "/next" and rows[2]["r"] == "/next"
+
+
+def test_sniff_ascii_semantics_twin_agreement(spark):
+    """Regression (r2 review): the sniff regexes are compiled re.ASCII
+    because Java \\s and \\d are ASCII-only. Before the fix, Python's
+    Unicode \\s accepted NBSP (0xA0 -> U+00A0 under the latin-1 sniff
+    decode) and NEL (0x85) as the <meta>-attribute separator, so the
+    oracle followed a redirect the Spark twin ignored — diverging
+    crawl_log, seen set, and frontier. Both twins must agree these are
+    NOT separators, and that ASCII whitespace still is."""
+    from track0s.http import header_content_type, redirect_target
+    from track0_spark.functions.exprs import (
+        header_content_type_expr,
+        redirect_target_expr,
+    )
+
+    redirect_sep = [
+        (b"<meta\xa0http-equiv=\"refresh\" content=\"0; url=/next\">", None),
+        (b"<meta\x85http-equiv=\"refresh\" content=\"0; url=/next\">", None),
+        (b"<meta\thttp-equiv=\"refresh\" content=\"0; url=/next\">", "/next"),
+        (b"<meta\x0bhttp-equiv=\"refresh\" content=\"0; url=/next\">", "/next"),
+    ]
+    for page, want in redirect_sep:
+        assert redirect_target(page) == want, page
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(redirect_sep)],
+        "i int, html binary",
+    )
+    rows = (
+        df.select(
+            "i",
+            redirect_target_expr(F.col("html")).alias("r"),
+            header_content_type_expr(F.col("html")).alias("c"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (page, want) in zip(rows, redirect_sep):
+        assert row["r"] == want == redirect_target(page), page
+        assert row["c"] == header_content_type(page)

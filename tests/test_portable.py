@@ -16,16 +16,25 @@ TEXTS = [
     "",  # empty text
     "x y z w v u t s r q p o n m",
     "dup dup dup dup dup dup",
+    # exotic whitespace: \x0B IS a separator (Java \s, now explicit in
+    # P.TOKEN_SPLIT on every engine) while NBSP is NOT (stays inside
+    # its token on every engine) — pins the RE2-vs-Java \s divergence
+    # the explicit class exists to remove
+    "alpha\x0bbravo charlie delta echo",
+    "caf\xa0au lait cr\xa0me encore une fois",
 ]
 ROWS = [(i, t) for i, t in enumerate(TEXTS)]
 
 
 def _tokens(t):
-    """Engine tokenization: split(trim(text), '\\s+') keeps one empty
-    token for empty text (unlike str.split())."""
+    """Engine tokenization: split(trim(text), P.TOKEN_SPLIT) keeps one
+    empty token for empty text (unlike str.split()). trim() removes
+    only ASCII spaces, and the split class is the explicit
+    P.TOKEN_SPLIT (valid as a Python regex too), so this mirrors the
+    engines exactly — including on \\x0B / NBSP text."""
     import re
 
-    return re.split(r"\s+", t.strip())
+    return re.split(P.TOKEN_SPLIT, t.strip(" "))
 
 
 def _py_shingles(t, n=3):
@@ -75,7 +84,7 @@ def test_duckdb_twins_match_python():
         + ") t(doc_id, text)"
     )
     q = f"""
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM docs),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '{P.TOKEN_SPLIT}') AS words FROM docs),
     sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
              list_distinct(list_transform(range(1, len(words)-1),
                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from track0s import portable as _P
 from track0s.rules import parse_pipeline
 from .functions.rules_compile import compile_rules
 
@@ -347,12 +348,12 @@ def q16_token_count(spark, sf):
     """Token counting (whitespace tokenizer), pure native split."""
     return T(spark, sf, "documents").select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), _P.TOKEN_SPLIT)).cast("bigint").alias("n_tokens"),
     )
 
 
 Q16_SQL = """
-SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
@@ -360,22 +361,22 @@ FROM documents
 def q17_text_quality(spark, sf):
     """Quality scoring: token stats per doc (length ratios, rounded)."""
     d = T(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        "n_tokens", F.size(F.split(F.trim("text"), _P.TOKEN_SPLIT))
     )
     return d.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(
-            F.length(F.regexp_replace("text", r"\s", "")) / F.col("n_tokens"), 4
+            F.length(F.regexp_replace("text", _P.WS_CLASS, "")) / F.col("n_tokens"), 4
         ).alias("avg_token_len"),
     )
 
 
 Q17_SQL = """
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+       CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS avg_token_len
 FROM documents
 """
 
@@ -409,7 +410,7 @@ def q19_shingles(spark, sf):
     counts per doc, all native array functions."""
     d = (
         T(spark, sf, "documents")
-        .withColumn("words", F.split(F.trim("text"), r"\s+"))
+        .withColumn("words", F.split(F.trim("text"), _P.TOKEN_SPLIT))
         .filter(F.size("words") >= 3)
         .withColumn("shingles", F.expr(_SHINGLE_EXPR))
     )
@@ -421,7 +422,7 @@ def q19_shingles(spark, sf):
 
 
 Q19_SQL = """
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
 s AS (SELECT doc_id,
              list_transform(range(1, len(words) - 1),
                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
@@ -444,7 +445,7 @@ def q20_jaccard_pairs(spark, sf):
         .filter(F.col("lang") == "zh")
         .orderBy("doc_id")
         .limit(200)
-        .withColumn("words", F.split(F.trim("text"), r"\s+"))
+        .withColumn("words", F.split(F.trim("text"), _P.TOKEN_SPLIT))
         .filter(F.size("words") >= 3)
         .withColumn("sh", F.array_distinct(F.expr(_SHINGLE_EXPR)))
         .select("doc_id", "sh")
@@ -467,7 +468,7 @@ Q20_SQL = """
 WITH d AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
         FROM (SELECT doc_id, text FROM documents WHERE lang = 'zh'
               ORDER BY doc_id LIMIT 200))
   WHERE len(words) >= 3)
@@ -556,7 +557,7 @@ def _langid_sql() -> str:
         arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
         score_defs.append(
             f"CAST(len(list_intersect(list_distinct("
-            f"string_split_regex(trim(lower(text)), '\\s+')), {arr})) AS DOUBLE)"
+            f"string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')), {arr})) AS DOUBLE)"
             f" / {len(words)} AS score_{lang}"
         )
     langs = list(STOPWORDS)
@@ -576,8 +577,6 @@ Q23_SQL = _langid_sql()
 # --- portable-hash oracle twins (q24-q27): the seeded constants are
 # --- inlined as SQL literals, so DuckDB evaluates the SAME hash family
 # --- bit-for-bit (track0s/portable.py; tests/test_portable.py)
-
-from track0s import portable as _P
 
 DUCK_PERMS_SQL = (
     "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in _P.PERMS) + "]"
@@ -633,7 +632,7 @@ def _q24_sql() -> str:
         band_exprs.append(acc)
     bands = "[" + ", ".join(band_exprs) + "]"
     return f"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
 shg AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
          list_distinct(list_transform(range(1, len(words) - 1),
            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),
@@ -676,8 +675,8 @@ def _q25_sql() -> str:
     th62 = f"({duck_char_hash('t')}) + (({duck_char_hash('t', _P.CHAR_MUL2, 1)}) << 31)"
     return f"""
 WITH tok AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n,
-         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+  SELECT doc_id, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n,
+         unnest(list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                 t -> {th62})) AS h
   FROM documents),
 bits AS (SELECT doc_id, i, any_value(n) AS n, sum((h >> i) & 1) AS ones
@@ -715,7 +714,7 @@ def _q26_sql() -> str:
     return f"""
 SELECT doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
-    list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+    list_transform(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                    t -> {duck_char_hash('t')})),
     (acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}) AS fp
 FROM documents
@@ -855,9 +854,13 @@ def q29_cosine_near_dup(spark, sf):
     from .operators.similarity import cosine_near_dup_pairs
 
     e = T(spark, sf, "embeddings")
-    return cosine_near_dup_pairs(
-        e, "vec_id", "embedding", dim=64, planes=12, band_bits=4, threshold=0.35
+    handles: list = []
+    out = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, planes=12, band_bits=4,
+        threshold=0.35, handles=handles,
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    _rotate_handles(handles)
+    return out
 
 
 def _q29_sql() -> str:
@@ -930,14 +933,14 @@ def _q30_sql() -> str:
 
     fp = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"list_transform(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), "
         f"t -> {duck_char_hash('t')})), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
     )
     return f"""
 WITH q AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+         CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
            AS n_tokens,
          {fp} AS fp
   FROM documents),

@@ -39,8 +39,14 @@ EXTRACT_INPUT_COLS = [
 
 #: link_idx bits in the packed dedup order key (plans/round.py D1):
 #: _ord = parent_seq << LINK_IDX_BITS | link_idx. The extractor asserts
-#: pages stay under 2^20 links so the pack is collision-free.
-LINK_IDX_BITS = 20
+#: pages stay under 2^28 links so the pack is collision-free — a bound
+#: no physical page reaches (2^28 anchors is >1 GB of markup; r2 review
+#: widened it from 2^20, which a pathological page could hit and wedge
+#: the crawl). parent_seq keeps 63-28 = 35 bits = 3.4e10 fetches, 3.4x
+#: the 10^10 design point. Truncating instead of raising is NOT an
+#: option: the oracle spider admits every link, so a silent cap would
+#: diverge the seen set on exactly the adversarial input that trips it.
+LINK_IDX_BITS = 28
 
 
 def make_extract_candidates(bloom=None):

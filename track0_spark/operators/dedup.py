@@ -50,7 +50,7 @@ def shingles_expr(text_col: str, n: int = 3):
     Texts shorter than n tokens yield an empty array (guarded —
     ``sequence(0, negative)`` would otherwise generate a DESCENDING
     range and blow up element_at)."""
-    words = f"split(trim({text_col}), '\\\\s+')"
+    words = f"split(trim({text_col}), '{P.TOKEN_SPLIT_SPARK_LIT}')"
     grams = ", ".join(f"element_at({words}, i + {k + 1})" for k in range(n))
     return F.expr(
         f"CASE WHEN size({words}) < {n} THEN array() "
@@ -243,7 +243,7 @@ def char_hash_sql(var: str, mul: int = P.CHAR_MUL, bias: int = 0) -> str:
 
 
 def _shingle_sql(text_col: str, n: int = 3) -> str:
-    words = f"split(trim({text_col}), '\\\\s+')"
+    words = f"split(trim({text_col}), '{P.TOKEN_SPLIT_SPARK_LIT}')"
     grams = ", ".join(f"element_at({words}, i + {k + 1})" for k in range(n))
     return (
         f"CASE WHEN size({words}) < {n} THEN array() "
@@ -316,7 +316,7 @@ def minhash_native_pairs(
 
 def simhash_tokens_expr(text_col: str) -> F.Column:
     """Portable 62-bit token hashes of a document (array<bigint>)."""
-    words = f"split(trim({text_col}), '\\\\s+')"
+    words = f"split(trim({text_col}), '{P.TOKEN_SPLIT_SPARK_LIT}')"
     th62 = f"({char_hash_sql('t')}) + shiftleft({char_hash_sql('t', P.CHAR_MUL2, 1)}, 31)"
     return F.expr(f"transform({words}, t -> {th62})")
 
@@ -342,7 +342,7 @@ def simhash_native_expr(text_col: str) -> F.Column:
     (Composition helper — callers that reuse the token-hash array
     should stage it with simhash_tokens_expr to hash each token once.)"""
     return simhash_from_tokens_expr(
-        f"transform(split(trim({text_col}), '\\\\s+'), t -> "
+        f"transform(split(trim({text_col}), '{P.TOKEN_SPLIT_SPARK_LIT}'), t -> "
         f"({char_hash_sql('t')}) + shiftleft({char_hash_sql('t', P.CHAR_MUL2, 1)}, 31))"
     )
 

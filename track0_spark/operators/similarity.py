@@ -187,6 +187,7 @@ def cosine_near_dup_pairs(
     planes: int = 12,
     band_bits: int = 4,
     threshold: float = 0.35,
+    handles: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
     candidate generation + exact-cosine re-rank (never all-pairs).
@@ -208,12 +209,19 @@ def cosine_near_dup_pairs(
     """
     bands = planes // band_bits
     mask = (1 << band_bits) - 1
+    # persist: sig is read three times (banded explode + both re-rank
+    # sides) and the 12-plane fold + norm are the dominant per-row
+    # cost — without this they recompute on every branch. The caller
+    # owns the unpersist via `handles` (same contract as
+    # minhash_native_pairs / simhash_native_pairs).
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket_expr(vec_col, dim, planes).alias("bucket"),
         vec_norm_expr(vec_col).alias("nrm"),
-    )
+    ).persist()
+    if handles is not None:
+        handles.append(sig)
     band_arr = F.array(
         *[
             F.shiftright("bucket", band_bits * i).bitwiseAND(F.lit(mask))

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from track0s import portable as P
+
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
 #: language-ID. Deliberately small + frozen: deterministic and cheap;
 #: a real model would be a broadcast table with the same plan shape.
@@ -22,7 +24,7 @@ STOPWORDS = {
 
 
 def tokens_expr(text_col: str) -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return F.split(F.trim(F.lower(F.col(text_col))), P.TOKEN_SPLIT)
 
 
 def token_count_expr(text_col: str) -> Column:
@@ -57,7 +59,7 @@ def quality_exprs(text_col: str) -> dict[str, Column]:
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count_expr(text_col)
-    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    n_nonspace = F.length(F.regexp_replace(text, P.WS_CLASS, ""))
     n_punct = F.length(text) - F.length(
         F.regexp_replace(text, r"[^\w\s]", "")
     )
@@ -94,7 +96,7 @@ def fingerprint_expr(text_col: str) -> Column:
 
     tok_hash = char_hash_sql("t")
     return F.expr(
-        f"aggregate(transform(split(trim(lower({text_col})), '\\\\s+'), "
+        f"aggregate(transform(split(trim(lower({text_col})), '{P.TOKEN_SPLIT_SPARK_LIT}'), "
         f"t -> {tok_hash}), CAST(0 AS BIGINT), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
     )

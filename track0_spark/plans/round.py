@@ -274,8 +274,8 @@ class RoundPlanner:
 
         # D1: in-round dedup — deterministic first-discovery-wins as a
         # real HASH aggregate. The discovery order is the single BIGINT
-        # _ord = parent_fetch_seq << 20 | link_idx (unique per candidate;
-        # the extractor asserts <2^20 links/page). min(_ord) per url is a
+        # _ord = parent_fetch_seq << 28 | link_idx (unique per candidate;
+        # the extractor asserts <2^28 links/page). min(_ord) per url is a
         # HashAggregate with map-side partial combine (min_by over any
         # string/struct payload compiles to SortAggregate in Spark —
         # measured, see PLANS.md), and the winner row comes back via an

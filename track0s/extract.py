@@ -85,6 +85,28 @@ class ExtractedLink:
     is_requisite: bool
 
 
+def resolve_link(base_url: str, value: str) -> str | None:
+    """THE link-admission policy, in one place: strip, drop fragments
+    and skip-scheme values, resolve against the base, require an
+    http(s) result. Shared by the HTML parser (_emit), the linked-CSS
+    pass (_css_link), and meta-refresh redirect resolution
+    (track0s.http.resolve_redirect) so the three paths cannot drift
+    (r2 review: they were three hand-copies)."""
+    v = value.strip()
+    if not v or v.startswith("#"):
+        return None
+    low = v.lower()
+    if any(low.startswith(s) for s in _SKIP_SCHEMES):
+        return None
+    try:
+        absu = urljoin(base_url, v)
+    except ValueError:
+        return None
+    if not absu.lower().startswith(("http://", "https://")):
+        return None
+    return absu
+
+
 class _Parser(HTMLParser):
     def __init__(self, base_url: str):
         super().__init__(convert_charrefs=True)
@@ -94,19 +116,9 @@ class _Parser(HTMLParser):
         self._skip_depth = 0
 
     def _emit(self, tag: str, attr: str, value: str, requisite: bool) -> None:
-        v = value.strip()
-        if not v or v.startswith("#"):
-            return
-        low = v.lower()
-        if any(low.startswith(s) for s in _SKIP_SCHEMES):
-            return
-        try:
-            absu = urljoin(self.base, v)
-        except ValueError:
-            return
-        if not absu.lower().startswith(("http://", "https://")):
-            return
-        self.links.append(ExtractedLink(absu, tag, attr, requisite))
+        absu = resolve_link(self.base, value)
+        if absu is not None:
+            self.links.append(ExtractedLink(absu, tag, attr, requisite))
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TEXT_TAGS:
@@ -149,18 +161,9 @@ def parse_html(base_url: str, html: str) -> tuple[list[ExtractedLink], str]:
 
 def _css_link(base_url: str, value: str) -> ExtractedLink | None:
     """One css url(...) reference -> requisite link (same filtering as
-    the HTML parser's _emit: skip fragments/schemes/non-http)."""
-    v = value.strip()
-    if not v or v.startswith("#"):
-        return None
-    low = v.lower()
-    if any(low.startswith(s) for s in _SKIP_SCHEMES):
-        return None
-    try:
-        absu = urljoin(base_url, v)
-    except ValueError:
-        return None
-    if not absu.lower().startswith(("http://", "https://")):
+    the HTML parser's _emit, via the shared resolve_link policy)."""
+    absu = resolve_link(base_url, value)
+    if absu is None:
         return None
     return ExtractedLink(absu, "css", "url", True)
 

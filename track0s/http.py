@@ -47,8 +47,13 @@ CONTENT_TYPE_PATTERN = (
     r"""[^>]*content\s*=\s*["']?([a-z0-9/+.-]+)"""
 )
 
-_REDIRECT_RE = re.compile(REDIRECT_PATTERN)
-_CONTENT_TYPE_RE = re.compile(CONTENT_TYPE_PATTERN)
+# re.ASCII: Java regex \s and \d are ASCII-only; Python's default str
+# semantics are Unicode, so after the latin-1 decode a NBSP (0xA0 ->
+# U+00A0) would satisfy Python \s but not the Spark twin's. The
+# patterns themselves are pure ASCII, so ASCII mode changes nothing
+# else — it makes \s == [ \t\n\x0B\f\r] and \d == [0-9] on both sides.
+_REDIRECT_RE = re.compile(REDIRECT_PATTERN, re.ASCII)
+_CONTENT_TYPE_RE = re.compile(CONTENT_TYPE_PATTERN, re.ASCII)
 
 
 def _head(html: bytes) -> str:
@@ -77,23 +82,12 @@ def resolve_redirect(base_url: str, target: str) -> str | None:
     the SAME filtering every extracted link gets (fragment-only, skip
     schemes like mailto:/javascript:/data:, non-http(s) result) — a
     redirect may not drag the crawl off-policy through a gap the <a>
-    path does not have. Shared by the oracle spider and the Spark
-    extract UDF so the twins cannot drift."""
-    from urllib.parse import urljoin
-
+    path does not have. Delegates to extract.resolve_link, the single
+    shared admission policy (r2 review: this was a third hand-copy),
+    so the oracle spider, the Spark extract UDF, and both link paths
+    cannot drift."""
     from .canon import canonicalize
-    from .extract import _SKIP_SCHEMES
+    from .extract import resolve_link
 
-    v = target.strip()
-    if not v or v.startswith("#"):
-        return None
-    low = v.lower()
-    if any(low.startswith(s) for s in _SKIP_SCHEMES):
-        return None
-    try:
-        absu = urljoin(base_url, v)
-    except ValueError:
-        return None
-    if not absu.lower().startswith(("http://", "https://")):
-        return None
-    return canonicalize(absu)
+    absu = resolve_link(base_url, target)
+    return canonicalize(absu) if absu is not None else None

@@ -34,6 +34,20 @@ ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 EMPTY_SIG = MOD  # sentinel slot value for docs with no shingles
 SIMHASH_BITS = 62
 
+#: NORMATIVE whitespace tokenizer class, spelled explicitly: Java
+#: regex \s (Spark) is [ \t\n\x0B\f\r] but RE2 \s (DuckDB) lacks
+#: \x0B, so twin queries written '\s+' silently disagree on text
+#: containing a vertical tab. This source text equals Java \s exactly
+#: (Spark behavior unchanged) and evaluates identically under RE2.
+#: Escaping per engine: pyspark F.split/F.regexp_replace take the
+#: source as-is; DuckDB string literals pass backslashes through
+#: unescaped, so also as-is; Spark SQL string literals unescape once,
+#: so use the *_SPARK_LIT renderings there.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+TOKEN_SPLIT = WS_CLASS + "+"
+WS_CLASS_SPARK_LIT = WS_CLASS.replace("\\", "\\\\")
+TOKEN_SPLIT_SPARK_LIT = TOKEN_SPLIT.replace("\\", "\\\\")
+
 
 def _perm_params() -> list[tuple[int, int]]:
     import numpy as np
