@@ -137,3 +137,36 @@ def test_simhash_native_pairs_enforces_recall_bound(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
     with pytest.raises(AssertionError):
         simhash_native_pairs(df, "doc_id", "text", max_hamming=16)
+
+
+def test_shingle_hash_algebra_matches_string_path(spark):
+    """The allocation-free composed-word-scan shingle hashes
+    (_shingle_hash_sql) must equal char-hashing the shingle STRINGS —
+    including the empty-word edge (leading tab -> '' token, whose
+    power term must be the neutral 1, not MUL^1)."""
+    from track0_spark.operators.dedup import (
+        _shingle_hash_sql,
+        _shingle_sql,
+        char_hash_sql,
+    )
+
+    texts = TEXTS + [
+        "\tleading tab yields empty first word",
+        " a  b  c ",
+        "\x0b\x0bdouble vt prefix x y",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = df.select(
+        "doc_id",
+        F.expr(_shingle_hash_sql("text")).alias("alg"),
+        F.expr(
+            f"transform({_shingle_sql('text', 3)}, s -> {char_hash_sql('s')})"
+        ).alias("strs"),
+    ).collect()
+    for r in got:
+        # the string path dedups shingles, the algebra path does not;
+        # compare as (order-preserving) distinct lists
+        alg_distinct = list(dict.fromkeys(r["alg"]))
+        assert alg_distinct == list(r["strs"]), texts[r["doc_id"]]
