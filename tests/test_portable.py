@@ -27,7 +27,7 @@ ROWS = [(i, t) for i, t in enumerate(TEXTS)]
 
 
 def _tokens(t):
-    """Engine tokenization: split(trim(text), P.TOKEN_SPLIT) keeps one
+    """Engine tokenization: split(trim(text, ' '), P.TOKEN_SPLIT) keeps one
     empty token for empty text (unlike str.split()). trim() removes
     only ASCII spaces, and the split class is the explicit
     P.TOKEN_SPLIT (valid as a Python regex too), so this mirrors the
@@ -84,7 +84,7 @@ def test_duckdb_twins_match_python():
         + ") t(doc_id, text)"
     )
     q = f"""
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '{P.TOKEN_SPLIT}') AS words FROM docs),
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '{P.TOKEN_SPLIT}') AS words FROM docs),
     sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
              list_distinct(list_transform(range(1, len(words)-1),
                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),

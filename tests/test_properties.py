@@ -126,3 +126,100 @@ def test_oracle_invariants():
     urls = [r["url_canon"] for r in log]
     assert len(urls) == len(set(urls))  # never fetched twice
     assert set(urls) <= sp.seen
+
+
+# --------------------------------------------------------------------------
+# portable hash family: pure Python vs DuckDB SQL on arbitrary text
+# (no JVM needed — the Spark twin is pinned separately in test_portable;
+# this sweeps the Python<->DuckDB pair over a much larger input space)
+# --------------------------------------------------------------------------
+
+
+def _duck_minhash(texts):
+    import duckdb
+
+    from track0_spark.contract import DUCK_PERMS_SQL, duck_char_hash
+    from track0s import portable as P
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)", list(enumerate(texts))
+    )
+    q = f"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '{P.TOKEN_SPLIT}') AS words FROM docs),
+    sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
+             list_distinct(list_transform(range(1, len(words)-1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),
+    hs AS (SELECT doc_id, list_transform(shingles, s -> {duck_char_hash('s')}) AS hs FROM sh)
+    SELECT doc_id, list_transform({DUCK_PERMS_SQL}, p -> CASE WHEN len(hs) = 0
+             THEN {P.EMPTY_SIG}::BIGINT
+             ELSE list_min(list_transform(hs, x -> (p[1]*x + p[2]) % {P.MOD})) END)
+    FROM hs ORDER BY doc_id
+    """
+    return [r[1] for r in con.execute(q).fetchall()]
+
+
+def _py_minhash(t):
+    import re
+
+    from track0s import portable as P
+
+    words = re.split(P.TOKEN_SPLIT, t.strip(" "))
+    sh, seen = [], set()
+    for i in range(max(0, len(words) - 2)):
+        s = " ".join(words[i : i + 3])
+        if s not in seen:
+            seen.add(s)
+            sh.append(s)
+    return P.minhash_sig(sh)
+
+
+# text alphabet: words + every ASCII whitespace + exotic Unicode
+# whitespace (NBSP, NEL, IDEOGRAPHIC SPACE) + non-ASCII letters —
+# exactly the classes where Python/RE2/Java \s semantics diverge
+_text_alpha = (
+    string.ascii_letters + string.digits + " \t\n\x0b\x0c\r"
+    + "\xa0\x85　éüñß中文"
+)
+
+
+def rand_texts(n=200, seed=7):
+    rng = random.Random(seed)
+    for _ in range(n):
+        yield "".join(
+            rng.choice(_text_alpha) for _ in range(rng.randrange(0, 120))
+        )
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=_text_alpha, max_size=120),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_minhash_python_duckdb_twin_hyp(texts):
+        got = _duck_minhash(texts)
+        assert got == [_py_minhash(t) for t in texts]
+
+else:
+
+    def test_minhash_python_duckdb_twin_sweep():
+        texts = list(rand_texts())
+        got = _duck_minhash(texts)
+        assert got == [_py_minhash(t) for t in texts]
+
+
+def test_minhash_python_duckdb_twin_seeded():
+    """Seeded sweep always runs (hypothesis or not) — includes the
+    divergence-prone whitespace classes in every run."""
+    texts = list(rand_texts()) + [
+        "", " ", "\x0b", "a\x0bb c d", "x\xa0y z w", "　a b c　",
+        "é ü ñ", "中 文 字 符", "a\r\nb\r\nc\r\nd",
+    ]
+    got = _duck_minhash(texts)
+    assert got == [_py_minhash(t) for t in texts]

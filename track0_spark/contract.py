@@ -353,7 +353,7 @@ def q16_token_count(spark, sf):
 
 
 Q16_SQL = """
-SELECT doc_id, CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
+SELECT doc_id, CAST(len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
@@ -374,9 +374,9 @@ def q17_text_quality(spark, sf):
 
 Q17_SQL = """
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
        round(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-             / len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS avg_token_len
+             / len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')), 4) AS avg_token_len
 FROM documents
 """
 
@@ -422,7 +422,7 @@ def q19_shingles(spark, sf):
 
 
 Q19_SQL = """
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
 s AS (SELECT doc_id,
              list_transform(range(1, len(words) - 1),
                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
@@ -468,7 +468,7 @@ Q20_SQL = """
 WITH d AS (
   SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS words
         FROM (SELECT doc_id, text FROM documents WHERE lang = 'zh'
               ORDER BY doc_id LIMIT 200))
   WHERE len(words) >= 3)
@@ -557,7 +557,7 @@ def _langid_sql() -> str:
         arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
         score_defs.append(
             f"CAST(len(list_intersect(list_distinct("
-            f"string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')), {arr})) AS DOUBLE)"
+            f"string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')), {arr})) AS DOUBLE)"
             f" / {len(words)} AS score_{lang}"
         )
     langs = list(STOPWORDS)
@@ -632,7 +632,7 @@ def _q24_sql() -> str:
         band_exprs.append(acc)
     bands = "[" + ", ".join(band_exprs) + "]"
     return f"""
-WITH w AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+') AS words FROM documents),
 shg AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [] ELSE
          list_distinct(list_transform(range(1, len(words) - 1),
            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS shingles FROM w),
@@ -675,8 +675,8 @@ def _q25_sql() -> str:
     th62 = f"({duck_char_hash('t')}) + (({duck_char_hash('t', _P.CHAR_MUL2, 1)}) << 31)"
     return f"""
 WITH tok AS (
-  SELECT doc_id, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n,
-         unnest(list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+  SELECT doc_id, len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS n,
+         unnest(list_transform(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+'),
                 t -> {th62})) AS h
   FROM documents),
 bits AS (SELECT doc_id, i, any_value(n) AS n, sum((h >> i) & 1) AS ones
@@ -714,7 +714,7 @@ def _q26_sql() -> str:
     return f"""
 SELECT doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
-    list_transform(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+    list_transform(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+'),
                    t -> {duck_char_hash('t')})),
     (acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD}) AS fp
 FROM documents
@@ -933,14 +933,14 @@ def _q30_sql() -> str:
 
     fp = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), "
+        f"list_transform(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+'), "
         f"t -> {duck_char_hash('t')})), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
     )
     return f"""
 WITH q AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
+         CAST(len(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
            AS n_tokens,
          {fp} AS fp
   FROM documents),
