@@ -223,3 +223,19 @@ def test_minhash_python_duckdb_twin_seeded():
     ]
     got = _duck_minhash(texts)
     assert got == [_py_minhash(t) for t in texts]
+
+
+def test_lower_simple_vs_full_divergence_bound():
+    """Documents the ONE known twin-equivalence exception (see
+    contract.py): DuckDB lower() is the SIMPLE Unicode mapping, while
+    Spark/Python use the FULL mapping. They differ exactly on
+    codepoints whose full lowercase expands — U+0130 'İ' — and agree
+    on every other case-tricky char we know of. If this test ever
+    fails because DuckDB starts matching, the lower()-twins' scope
+    note in contract.py can be deleted."""
+    import duckdb
+
+    agree = "ıΣςẞﬁABCÉÜÑДЖ中"
+    assert duckdb.sql(f"SELECT lower('{agree}')").fetchone()[0] == agree.lower()
+    assert duckdb.sql("SELECT lower('İ')").fetchone()[0] == "i"
+    assert "İ".lower() == "i̇"  # full mapping: i + combining dot

@@ -577,6 +577,19 @@ Q23_SQL = _langid_sql()
 # --- portable-hash oracle twins (q24-q27): the seeded constants are
 # --- inlined as SQL literals, so DuckDB evaluates the SAME hash family
 # --- bit-for-bit (track0s/portable.py; tests/test_portable.py)
+#
+# Twin-equivalence bounds (property-tested, tests/test_properties.py):
+# tokenization, trim, char folds, and all hash arithmetic are
+# bit-identical across Spark / DuckDB / Python on arbitrary text
+# including exotic whitespace and astral codepoints. The ONE known
+# exception is lower() on codepoints whose FULL Unicode lowercase
+# differs from the SIMPLE mapping — in practice U+0130 'İ' (Turkish
+# capital dotted I): Spark/Python produce 'i'+U+0307, DuckDB produces
+# 'i'. Queries that lower() before hashing (q23/q26/q30) therefore
+# match their SQL twins on all text without U+0130; the ENGINE
+# behavior (full Unicode casing) is the production semantic, and
+# neither engine exposes the other's mapping without a UDF. Pinned in
+# test_properties.py::test_lower_simple_vs_full_divergence_bound.
 
 DUCK_PERMS_SQL = (
     "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in _P.PERMS) + "]"
