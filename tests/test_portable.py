@@ -170,3 +170,32 @@ def test_shingle_hash_algebra_matches_string_path(spark):
         # compare as (order-preserving) distinct lists
         alg_distinct = list(dict.fromkeys(r["alg"]))
         assert alg_distinct == list(r["strs"]), texts[r["doc_id"]]
+
+
+def test_spark_minhash_matches_python_random_sweep(spark):
+    """Seeded 200-text sweep of the Spark native signatures vs the pure
+    Python reference — same whitespace-and-unicode-heavy alphabet as
+    the DuckDB property sweep (test_properties), one batch collect."""
+    import random
+    import string
+
+    from track0_spark.operators.dedup import minhash_native_signatures
+
+    alpha = (
+        string.ascii_letters + string.digits + " \t\n\x0b\x0c\r"
+        + "\xa0\x85　éüñß中文🦀"
+    )
+    rng = random.Random(11)
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["id"]: list(r["sig"])
+        for r in minhash_native_signatures(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == P.minhash_sig(_py_shingles(t)), repr(t)
