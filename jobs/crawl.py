@@ -10,6 +10,15 @@ SparkSession) with ``--profile sf-unit|sf-correct`` to generate the
 deterministic synthetic web in-memory instead of reading parquet
 (FIXTURES.md §2). Prints a JSON summary line plus the head of the
 crawl_log — the comparison artifact (BASELINE.json:2).
+
+Mirror workflow (track0's primary use, SURVEY §2.1 S3/S4):
+
+    # crawl once, keep the durable saved set + materialize files
+    python jobs/crawl.py --profile sf-unit --save '+mime=text/*' \
+        --saved-out /data/mirror.parquet --mirror-out /data/mirror/
+    # later: conditional refetch against a fresh pages snapshot
+    python jobs/crawl.py --pages /data/pages_new --update \
+        --saved-out /data/mirror.parquet --mirror-out /data/mirror/
 """
 
 from __future__ import annotations
@@ -28,6 +37,56 @@ from track0s.robots import RobotsTable  # noqa: E402
 
 
 PROFILES = {"sf-unit": webgen.SF_UNIT, "sf-correct": webgen.SF_CORRECT}
+
+
+def _write_parquet_atomic(df, path: str) -> None:
+    """Write to path+'.tmp' then swap — a killed --update never leaves a
+    half-written saved set (same torn-commit discipline as the
+    checkpoint store, sources/snapshot.py)."""
+    import shutil
+
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _saved_set(loop, pages):
+    """Durable mirror state: (url_canon, html, etag, last_modified) for
+    every @save-admitted url (bodies re-joined from the pages store,
+    never duplicated in the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators.revisit import with_save_metadata
+
+    log = loop.saved_pages()
+    if log is None:
+        return None
+    saved = log.select("url_canon").join(
+        pages.select(F.col("url").alias("url_canon"), "html", "warc_ts"),
+        "url_canon",
+    )
+    return with_save_metadata(saved)
+
+
+def _materialize_files(spark, saved_df, out_dir: str) -> int:
+    """Stream the rewritten mirror to local files (toLocalIterator —
+    one partition in memory at a time, never a full collect)."""
+    from track0_spark.operators.mirror import materialize_mirror
+
+    handles: list = []
+    mir = materialize_mirror(spark, saved_df, handles=handles)
+    n = 0
+    for row in mir.toLocalIterator():
+        p = os.path.join(out_dir, row["local_path"])
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(bytes(row["html"]))
+        n += 1
+    for h in handles:
+        h.unpersist()
+    return n
 
 
 def main(argv=None) -> int:
@@ -63,6 +122,28 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--robots-parquet", default=None)
     ap.add_argument("--head", type=int, default=10, help="crawl_log rows to print")
+    ap.add_argument(
+        "--saved-out",
+        default=None,
+        help="write the saved set (url_canon, html, etag, last_modified) as "
+        "parquet — the durable mirror STATE the --update workflow merges "
+        "into (track0 '--update' analog, SURVEY §2.1 S4)",
+    )
+    ap.add_argument(
+        "--update",
+        action="store_true",
+        help="revisit mode: skip the crawl; conditional-refetch the existing "
+        "--saved-out parquet against the current pages table (etag/"
+        "last-modified MERGE, one row per url) and atomically replace it",
+    )
+    ap.add_argument(
+        "--mirror-out",
+        default=None,
+        help="materialize the mirror as local files under this directory "
+        "(collision-free paths, links rewritten relative; streamed, never "
+        "collected — local/shared-FS deployments; cluster jobs keep the "
+        "--saved-out parquet as the artifact)",
+    )
     args = ap.parse_args(argv)
 
     from track0_spark.session import build_spark
@@ -82,7 +163,7 @@ def main(argv=None) -> int:
                 )
         elif args.pages:
             pages = read_pages(spark, args.pages)
-            if not args.seeds:
+            if not args.seeds and not args.update:
                 ap.error("--seeds required with --pages")
             seeds = args.seeds
         else:
@@ -101,6 +182,36 @@ def main(argv=None) -> int:
                 for r in rdf.collect()
             ]
             robots = RobotsTable.from_rows(rows, default_budget=args.budget)
+
+        if args.update:
+            # S4 revisit: no crawl — conditional-refetch MERGE of the
+            # existing saved set against the current pages snapshot
+            from pyspark.sql import functions as F
+
+            from track0_spark.operators.revisit import revisit_merge
+
+            if not args.saved_out or not os.path.exists(args.saved_out):
+                ap.error("--update requires an existing --saved-out parquet")
+            prev = spark.read.parquet(args.saved_out)
+            merged = revisit_merge(prev, pages)
+            counts = {
+                r["refetch_status"]: r["n"]
+                for r in merged.groupBy("refetch_status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            _write_parquet_atomic(
+                merged.select("url_canon", "html", "etag", "last_modified"),
+                args.saved_out,
+            )
+            out = {"update": counts, "saved_out": args.saved_out}
+            if args.mirror_out:
+                out["mirror_files"] = _materialize_files(
+                    spark, spark.read.parquet(args.saved_out), args.mirror_out
+                )
+                out["mirror_out"] = args.mirror_out
+            print(json.dumps(out))
+            return 0
 
         cfg = CrawlConfig.from_specs(
             seeds,
@@ -124,18 +235,26 @@ def main(argv=None) -> int:
             compact_every=args.compact_every,
         )
         summary = loop.run()
-        print(
-            json.dumps(
-                {
-                    "rounds": summary.rounds,
-                    "fetched": summary.fetched,
-                    "seen": summary.seen,
-                    "frontier_pending": summary.frontier_pending,
-                    "wall_s": summary.wall_s,
-                    "ckpt": ckpt,
-                }
-            )
-        )
+        out = {
+            "rounds": summary.rounds,
+            "fetched": summary.fetched,
+            "seen": summary.seen,
+            "frontier_pending": summary.frontier_pending,
+            "wall_s": summary.wall_s,
+            "ckpt": ckpt,
+        }
+        if args.saved_out or args.mirror_out:
+            saved = _saved_set(loop, pages)
+            if saved is not None:
+                if args.saved_out:
+                    _write_parquet_atomic(saved, args.saved_out)
+                    out["saved_out"] = args.saved_out
+                if args.mirror_out:
+                    out["mirror_files"] = _materialize_files(
+                        spark, saved, args.mirror_out
+                    )
+                    out["mirror_out"] = args.mirror_out
+        print(json.dumps(out))
         log = loop.crawl_log()
         if log is not None and args.head:
             for row in log.orderBy("round", "fetch_seq").limit(args.head).collect():
