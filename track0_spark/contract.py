@@ -1030,6 +1030,90 @@ FROM (SELECT vec_id, raw FROM r ORDER BY raw DESC, vec_id ASC LIMIT 10) t
 Q31_SQL = _q31_sql()
 
 
+def q32_stratified_split(spark, sf):
+    """Deterministic train/val/test corpus split — the portable
+    char-fold hash of doc_id buckets every document into 100 cells, so
+    the split is a pure function of the id: stable under reshuffling,
+    resumes, and cluster-size changes (sampling state or
+    partition-dependent rand() would not be). 90/5/5; per-(lang,
+    split) counts verify the assignment end to end. 100 TB shape: one
+    narrow hash agg, no window, no extra shuffle beyond the count."""
+    from .operators.dedup import char_hash_sql
+
+    d = T(spark, sf, "documents").withColumn(
+        "bucket",
+        F.expr(f"{char_hash_sql('CAST(doc_id AS STRING)')} % 100"),
+    )
+    split = (
+        F.when(F.col("bucket") < 90, F.lit("train"))
+        .when(F.col("bucket") < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def _q32_sql() -> str:
+    return f"""
+SELECT lang,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM (SELECT lang, n_chars,
+             {duck_char_hash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+      FROM documents)
+GROUP BY lang, split
+"""
+
+
+Q32_SQL = _q32_sql()
+
+
+def q33_top_terms_per_lang(spark, sf):
+    """Corpus vocabulary profile: top-5 tokens per language by
+    (count desc, token asc) — tokenize -> explode -> hash agg on
+    (lang, token) -> per-lang top-k window over the aggregated rows
+    (the window input is |vocab| rows, not |corpus| tokens, so the
+    sort is bounded — same shape as the per-host politeness top-k)."""
+    from .operators.textstats import tokens_expr
+
+    toks = (
+        T(spark, sf, "documents")
+        .select("lang", F.explode(tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        toks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+Q33_SQL = """
+WITH t AS (
+  SELECT lang, unnest(string_split_regex(trim(lower(text), ' '),
+                                         '[ \\t\\n\\x0B\\f\\r]+')) AS token
+  FROM documents),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE token <> '' GROUP BY lang, token)
+SELECT lang, token, n, rk FROM (
+  SELECT lang, token, n,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, token ASC) AS INT) AS rk
+  FROM c) q WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1066,6 +1150,8 @@ QUERIES = {
     "q29_cosine_near_dup": (q29_cosine_near_dup, Q29_SQL),
     "q30_clean_pipeline": (q30_clean_pipeline, Q30_SQL),
     "q31_ann_ivf": (q31_ann_ivf, Q31_SQL),
+    "q32_stratified_split": (q32_stratified_split, Q32_SQL),
+    "q33_top_terms_per_lang": (q33_top_terms_per_lang, Q33_SQL),
 }
 
 
