@@ -14,7 +14,7 @@ crawl_log — the comparison artifact (BASELINE.json:2).
 Mirror workflow (track0's primary use, SURVEY §2.1 S3/S4):
 
     # crawl once, keep the durable saved set + materialize files
-    python jobs/crawl.py --profile sf-unit --save '+mime=text/*' \
+    python jobs/crawl.py --profile sf-unit --save '+content-type=text/*' \
         --saved-out /data/mirror.parquet --mirror-out /data/mirror/
     # later: conditional refetch against a fresh pages snapshot
     python jobs/crawl.py --pages /data/pages_new --update \
@@ -39,33 +39,48 @@ from track0s.robots import RobotsTable  # noqa: E402
 PROFILES = {"sf-unit": webgen.SF_UNIT, "sf-correct": webgen.SF_CORRECT}
 
 
-def _write_parquet_atomic(df, path: str) -> None:
-    """Write to path+'.tmp' then swap — a killed --update never leaves a
-    half-written saved set (same torn-commit discipline as the
-    checkpoint store, sources/snapshot.py)."""
+def _write_parquet_recoverable(df, path: str) -> None:
+    """Write to path+'.tmp', back up the old set to path+'.bak', then
+    swap. Directory swaps cannot be truly atomic on POSIX, but every
+    kill window leaves a COMPLETE copy on disk: the old set at
+    ``path`` or ``path.bak``, and/or the new one at ``path.tmp`` —
+    never only a half-written directory (same torn-commit discipline
+    as the checkpoint store, sources/snapshot.py; r2 review replaced
+    an rmtree-then-rename sequence whose kill window left nothing)."""
     import shutil
 
-    tmp = path + ".tmp"
+    tmp, bak = path + ".tmp", path + ".bak"
     df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, bak)
     os.replace(tmp, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
 
 
 def _saved_set(loop, pages):
     """Durable mirror state: (url_canon, html, etag, last_modified) for
-    every @save-admitted url (bodies re-joined from the pages store,
-    never duplicated in the checkpoint)."""
+    every @save-admitted url, EXACTLY one row per url.
+
+    Deliberately INNER-joins bodies (a mirror artifact cannot carry a
+    page without bytes — ``CrawlLoop.saved_pages(pages)``'s LEFT join
+    serves the log-inspection use instead) and dedups a multi-fetch
+    pages snapshot to its latest row first, so the one-row-per-url
+    MERGE precondition of later --update runs holds by construction."""
     from pyspark.sql import functions as F
 
-    from track0_spark.operators.revisit import with_save_metadata
+    from track0_spark.operators.revisit import (
+        latest_unique_pages,
+        with_save_metadata,
+    )
 
     log = loop.saved_pages()
     if log is None:
         return None
     saved = log.select("url_canon").join(
-        pages.select(F.col("url").alias("url_canon"), "html", "warc_ts"),
-        "url_canon",
+        latest_unique_pages(pages), "url_canon"
     )
     return with_save_metadata(saved)
 
@@ -78,8 +93,15 @@ def _materialize_files(spark, saved_df, out_dir: str) -> int:
     handles: list = []
     mir = materialize_mirror(spark, saved_df, handles=handles)
     n = 0
+    root = os.path.realpath(out_dir)
     for row in mir.toLocalIterator():
-        p = os.path.join(out_dir, row["local_path"])
+        p = os.path.realpath(os.path.join(out_dir, row["local_path"]))
+        # belt-and-braces with mirror._safe_seg: never write outside
+        # the mirror root, whatever a hostile URL decoded to
+        if not p.startswith(root + os.sep):
+            raise ValueError(
+                f"mirror path escapes {out_dir!r}: {row['local_path']!r}"
+            )
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(bytes(row["html"]))
@@ -193,17 +215,21 @@ def main(argv=None) -> int:
             if not args.saved_out or not os.path.exists(args.saved_out):
                 ap.error("--update requires an existing --saved-out parquet")
             prev = spark.read.parquet(args.saved_out)
-            merged = revisit_merge(prev, pages)
+            # persist: the counts collect and the parquet write would
+            # otherwise each execute the full merge (md5 over every
+            # body, latest-pick aggregates, join)
+            merged = revisit_merge(prev, pages).persist()
             counts = {
                 r["refetch_status"]: r["n"]
                 for r in merged.groupBy("refetch_status")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
-            _write_parquet_atomic(
+            _write_parquet_recoverable(
                 merged.select("url_canon", "html", "etag", "last_modified"),
                 args.saved_out,
             )
+            merged.unpersist()
             out = {"update": counts, "saved_out": args.saved_out}
             if args.mirror_out:
                 out["mirror_files"] = _materialize_files(
@@ -247,8 +273,11 @@ def main(argv=None) -> int:
             saved = _saved_set(loop, pages)
             if saved is not None:
                 if args.saved_out:
-                    _write_parquet_atomic(saved, args.saved_out)
+                    _write_parquet_recoverable(saved, args.saved_out)
                     out["saved_out"] = args.saved_out
+                    # materialize from the just-written parquet — the
+                    # saved-set plan (crawl-log join + md5) runs once
+                    saved = spark.read.parquet(args.saved_out)
                 if args.mirror_out:
                     out["mirror_files"] = _materialize_files(
                         spark, saved, args.mirror_out

@@ -1,23 +1,35 @@
 """CLI mirror workflow acceptance: crawl --saved-out/--mirror-out, then
 --update revisit against the same pages snapshot (S3/S4 end-to-end
-through jobs/crawl.py, the surface a track0 user actually drives)."""
+through jobs/crawl.py, the surface a track0 user actually drives).
+
+Runs the CLI as a SUBPROCESS: jobs/crawl.py builds and stops its own
+SparkSession, and in-process getOrCreate would hand it the suite's
+shared fixture session — whose stop() then kills every Spark test
+scheduled after this one (r2 review: 41 downstream failures)."""
 
 import json
 import os
+import subprocess
+import sys
 
 import pyarrow.parquet as pq
 
-
-def _run_cli(argv, capsys):
-    from jobs.crawl import main
-
-    rc = main(argv)
-    out = capsys.readouterr().out
-    assert rc == 0, out
-    return json.loads(out.strip().splitlines()[-1])
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_crawl_mirror_then_update(tmp_path, capsys):
+def _run_cli(argv):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "jobs", "crawl.py"), *argv],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_crawl_mirror_then_update(tmp_path):
     saved_out = str(tmp_path / "saved.parquet")
     mirror_out = str(tmp_path / "mirror")
 
@@ -26,8 +38,7 @@ def test_crawl_mirror_then_update(tmp_path, capsys):
             "--profile", "sf-unit", "--rounds", "6", "--cores", "4",
             "--head", "0", "--saved-out", saved_out,
             "--mirror-out", mirror_out,
-        ],
-        capsys,
+        ]
     )
     assert summary["fetched"] > 0
     t = pq.read_table(saved_out)
@@ -46,16 +57,15 @@ def test_crawl_mirror_then_update(tmp_path, capsys):
     assert all(os.path.getsize(f) > 0 for f in files)
 
     # revisit against the SAME pages snapshot: every row is a 304-analog
-    # (ts unchanged -> 'unchanged'); the saved set is atomically
-    # rewritten with identical content and the mirror re-materializes
+    # (ts unchanged -> 'unchanged'); the saved set is rewritten
+    # recoverably with identical content and the mirror re-materializes
     # the same file set
     upd = _run_cli(
         [
             "--profile", "sf-unit", "--update",
             "--cores", "4", "--saved-out", saved_out,
             "--mirror-out", mirror_out,
-        ],
-        capsys,
+        ]
     )
     assert upd["update"] == {"unchanged": n_saved}
     assert upd["mirror_files"] == n_saved

@@ -224,3 +224,28 @@ def test_spark_mirror_materialize(spark):
     assert {(r["url_canon"], bytes(r["html"])) for r in out} == {
         (r["url_canon"], bytes(r["html"])) for r in out2
     }
+
+
+def test_local_path_never_escapes_root():
+    """Regression (r2 review): canonicalize pct-decodes AFTER
+    dot-segment removal, so '/%2e%2e/...' canonicalizes with literal
+    '..' segments; written as-is under a mirror root that is a
+    path-traversal write OUTSIDE the root. _safe_seg neutralizes
+    '.'/'..' segments deterministically on both twins."""
+    import os
+
+    from track0s.canon import canonicalize
+    from track0s.mirror import local_path_for
+
+    hostile = [
+        "http://h.example.test/%2e%2e/%2e%2e/%2e%2e/tmp/pwned",
+        "http://h.example.test/a/%2e/b",
+        "http://h.example.test/..%2f../x",
+        "http://h.example.test/%2e%2e",
+    ]
+    for u in hostile:
+        lp = local_path_for(canonicalize(u))
+        assert ".." not in lp.split("/"), (u, lp)
+        assert "." not in lp.split("/")[:-1], (u, lp)
+        joined = os.path.normpath(os.path.join("/mirror/root", lp))
+        assert joined.startswith("/mirror/root/"), (u, lp, joined)

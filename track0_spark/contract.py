@@ -585,8 +585,9 @@ Q23_SQL = _langid_sql()
 # exception is lower() on codepoints whose FULL Unicode lowercase
 # differs from the SIMPLE mapping — in practice U+0130 'İ' (Turkish
 # capital dotted I): Spark/Python produce 'i'+U+0307, DuckDB produces
-# 'i'. Queries that lower() before hashing (q23/q26/q30) therefore
-# match their SQL twins on all text without U+0130; the ENGINE
+# 'i'. Queries that lower() before tokenizing/hashing (q23/q26/q30/
+# q33) therefore match their SQL twins on all text without U+0130; the
+# ENGINE
 # behavior (full Unicode casing) is the production semantic, and
 # neither engine exposes the other's mapping without a UDF. Pinned in
 # test_properties.py::test_lower_simple_vs_full_divergence_bound.

@@ -46,35 +46,45 @@ def with_save_metadata(saved: DataFrame) -> DataFrame:
     )
 
 
+def latest_unique_pages(pages: DataFrame) -> DataFrame:
+    """-> (url_canon, html, warc_ts, _etag), EXACTLY one row per url.
+
+    MERGE (and the saved-set artifact) require a UNIQUE source row per
+    url (Iceberg MERGE INTO raises a cardinality violation otherwise;
+    r2 review): a pages snapshot holding several fetches of one url
+    keeps the LATEST (max warc_ts), tie-broken by min etag — hash
+    aggregates + join-backs only, no sort, no min_by-over-payload. The
+    final dropDuplicates is deterministic: surviving rows for a url
+    are byte-identical in every selected column."""
+    p = pages.select(
+        F.col("url").alias("url_canon"),
+        "html",
+        "warc_ts",
+        F.md5("html").alias("_etag"),
+    )
+    latest = p.groupBy("url_canon").agg(F.max("warc_ts").alias("warc_ts"))
+    at_latest = p.join(latest, ["url_canon", "warc_ts"])
+    pick = at_latest.groupBy("url_canon", "warc_ts").agg(
+        F.min("_etag").alias("_etag")
+    )
+    return (
+        at_latest.join(pick, ["url_canon", "warc_ts", "_etag"])
+        .dropDuplicates(["url_canon"])
+    )
+
+
 def revisit_merge(saved: DataFrame, pages: DataFrame) -> DataFrame:
     """-> (url_canon, html, etag, last_modified, refetch_status).
 
     Exactly one output row per saved url (dedup-overwrite MERGE
     semantics); ``refetch_status`` ∈ {gone, unchanged, validated,
     modified}. Deterministic: pure function of the two snapshots."""
-    p = pages.select(
-        F.col("url").alias("url_canon"),
+    p = latest_unique_pages(pages).select(
+        "url_canon",
         F.col("html").alias("_new_html"),
         F.col("warc_ts").alias("_new_ts"),
-    )
-    # MERGE requires a UNIQUE source row per url (Iceberg MERGE INTO
-    # raises a cardinality violation otherwise; r2 review): a pages
-    # snapshot holding several fetches of one url keeps the LATEST
-    # (max warc_ts), tie-broken by min etag — hash aggregates +
-    # join-backs only, no sort, no min_by-over-payload. The final
-    # dropDuplicates is deterministic: surviving rows for a url are
-    # byte-identical in every selected column.
-    p = p.withColumn("_new_etag", F.md5("_new_html"))
-    latest = p.groupBy("url_canon").agg(F.max("_new_ts").alias("_new_ts"))
-    at_latest = p.join(latest, ["url_canon", "_new_ts"])
-    pick = at_latest.groupBy("url_canon", "_new_ts").agg(
-        F.min("_new_etag").alias("_new_etag")
-    )
-    p = (
-        at_latest.join(pick, ["url_canon", "_new_ts", "_new_etag"])
-        .dropDuplicates(["url_canon"])
-        .hint("SHUFFLE_HASH")
-    )
+        F.col("_etag").alias("_new_etag"),
+    ).hint("SHUFFLE_HASH")
     j = saved.join(p, "url_canon", "left")
     new_etag = F.col("_new_etag")
     status = (

@@ -38,16 +38,27 @@ from .hashing import h64
 URL_ATTRS = sorted({attr for attr, _req in TAG_ATTRS.values()})
 
 
+def _safe_seg(seg: str) -> str:
+    """Neutralize filesystem-special path segments. canonicalize()
+    percent-DECODES after dot-segment removal, so a URL like
+    '/%2e%2e/%2e%2e/tmp/x' canonicalizes with literal '..' segments —
+    written as-is under a mirror root, that is a path-traversal write
+    OUTSIDE the root (r2 review). '.'/'..' become their percent forms
+    (no dot characters, so the filesystem cannot re-interpret them);
+    deterministic, shared by the oracle and the Spark index."""
+    return {".": "%2E", "..": "%2E%2E"}.get(seg, seg)
+
+
 def local_path_for(url_canon: str) -> str:
     """Deterministic NAIVE mirror path: host/path, directories get
     index.html, query strings become a filesystem-safe suffix. Not
     injective on its own — see ``assign_paths``."""
     parts = urlsplit(url_canon)
-    host = (parts.hostname or "unknown").lower()
+    host = _safe_seg((parts.hostname or "unknown").lower())
     path = parts.path or "/"
     if path.endswith("/"):
         path += "index.html"
-    segs = [s for s in path.split("/") if s]
+    segs = [_safe_seg(s) for s in path.split("/") if s]
     if not segs:
         segs = ["index.html"]
     if "." not in segs[-1]:
