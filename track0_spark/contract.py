@@ -1115,6 +1115,65 @@ SELECT lang, token, n, rk FROM (
 """
 
 
+def q34_media_features(spark, sf):
+    """Multimodal feature-extraction plumbing, oracle-hash-checked:
+    documents.text utf-8 bytes stand in as opaque media payloads
+    (media_id, kind, payload binary), the REAL Arrow mapInPandas
+    feature UDF (operators/multimodal.py, feature='fake' = normalized
+    16-bin byte histogram) runs end to end, and the float32 features
+    are de-normalized back to exact integer bin counts
+    (round(f * n_bytes) is exact for n_bytes << 2^24 at float32
+    precision) so the driver compare is integer-stable. Zero bins are
+    dropped on both sides. The DuckDB twin recovers each byte's bin as
+    its FIRST HEX DIGIT (bin = byte >> 4) from hex(encode(text))."""
+    from .operators.multimodal import extract_features
+
+    media = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    nb = media.select(
+        "media_id", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    feats = extract_features(media, feature="fake")
+    return (
+        feats.join(nb, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.posexplode("feature").alias("bin", "f"),
+        )
+        .select(
+            "media_id",
+            "n_bytes",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("f") * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+Q34_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         lower(hex(encode(text))) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+b AS (
+  SELECT media_id, n_bytes,
+         unnest(list_transform(range(1, n_bytes + 1),
+           i -> strpos('0123456789abcdef',
+                       substr(h, 2 * CAST(i AS INT) - 1, 1)) - 1)) AS bin
+  FROM m)
+SELECT media_id, n_bytes, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY media_id, n_bytes, bin
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1153,6 +1212,7 @@ QUERIES = {
     "q31_ann_ivf": (q31_ann_ivf, Q31_SQL),
     "q32_stratified_split": (q32_stratified_split, Q32_SQL),
     "q33_top_terms_per_lang": (q33_top_terms_per_lang, Q33_SQL),
+    "q34_media_features": (q34_media_features, Q34_SQL),
 }
 
 
