@@ -1115,6 +1115,46 @@ SELECT lang, token, n, rk FROM (
 """
 
 
+def q35_length_percentiles(spark, sf):
+    """Exact per-language doc-length distribution: n_docs, min/max,
+    and the exact lower median — the rank floor((n+1)/2) value in
+    (n_chars, doc_id) order, so ties are deterministic on both
+    engines. This is the exact VERIFICATION form (rank via window =
+    one sort per lang partition); at corpus scale the production path
+    is approx_percentile over the same column — same pairing as q20's
+    exact Jaccard vs q24's banded LSH."""
+    d = T(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    med = (
+        ranked.join(stats.select("lang", "n_docs"), "lang")
+        .filter(F.col("rn") == F.floor((F.col("n_docs") + 1) / 2))
+        .select("lang", F.col("n_chars").cast("bigint").alias("median_chars"))
+    )
+    return stats.join(med, "lang")
+
+
+Q35_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id ASC) AS rn
+  FROM documents),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY lang)
+SELECT s.lang, s.n_docs, s.min_chars, s.max_chars,
+       CAST(r.n_chars AS BIGINT) AS median_chars
+FROM s JOIN r ON r.lang = s.lang AND r.rn = (s.n_docs + 1) // 2
+"""
+
+
 def q34_media_features(spark, sf):
     """Multimodal feature-extraction plumbing, oracle-hash-checked:
     documents.text utf-8 bytes stand in as opaque media payloads
@@ -1213,6 +1253,7 @@ QUERIES = {
     "q32_stratified_split": (q32_stratified_split, Q32_SQL),
     "q33_top_terms_per_lang": (q33_top_terms_per_lang, Q33_SQL),
     "q34_media_features": (q34_media_features, Q34_SQL),
+    "q35_length_percentiles": (q35_length_percentiles, Q35_SQL),
 }
 
 
