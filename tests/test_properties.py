@@ -15,7 +15,7 @@ from track0s.canon import canonicalize, host_of, path_of
 from track0s.rules import evaluate, glob_to_regex, parse_pipeline
 
 try:
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import example, given, settings, strategies as st
 
     HAVE_HYP = True
 except ImportError:
@@ -43,7 +43,13 @@ if HAVE_HYP:
         assert canonicalize(c) == c
 
     @given(st.text(alphabet=string.printable, max_size=30))
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=2000, deadline=None)
+    @example(
+        s='0 ?',
+    ).via('discovered failure')
+    @example(s='0 #').via('round-1 counterexample')
+    @example(s='0 ?#').via('both delimiters')
+    @example(s=' a b ?')
     def test_canon_total_hyp(s):
         # never raises, never returns None, idempotent on anything
         c = canonicalize(s)

@@ -131,3 +131,22 @@ def test_revisit_duplicate_pages_rows(spark):
     assert r["refetch_status"] == "modified"
     assert bytes(r["html"]) == b"new"
     assert r["last_modified"] == 200
+
+
+def test_revisit_keys_are_canon_fixpoints(spark):
+    """Guard for the failure mode VERDICT r2 #1 protects against: revisit
+    keys on url_canon, so every canonical URL in the fixture MUST survive
+    re-canonicalization unchanged (canonicalize is a fixpoint on its own
+    output). A non-fixpoint canonical form would make a revisited page key
+    drift between rounds and silently fork the saved set."""
+    from datagen import webgen
+    from track0s.canon import canonicalize
+
+    rows = webgen.gen_pages(webgen.SF_UNIT)
+    for r in rows:
+        c = canonicalize(r["url"])
+        assert canonicalize(c) == c, r["url"]
+    # and the adversarial delimiter-drop family specifically
+    for u in ["0 ?", "0 #", "0 ?#", "http://h.test/a ?", "  x y ? "]:
+        c = canonicalize(u)
+        assert canonicalize(c) == c, u

@@ -88,11 +88,21 @@ def _remove_dot_segments(path: str) -> str:
 def canonicalize(url: str) -> str:
     """Canonical form of an absolute URL. Pure, total, deterministic.
 
-    Idempotent: the fragment is dropped *before* whitespace trimming, so a
-    trailing fragment cannot shield inner trailing whitespace from the trim
-    (counterexample that broke v1: ``'0 #'`` -> ``'0 '`` -> ``'0'``; now
-    ``'0 #'`` -> ``'0'`` directly). The ValueError path returns the same
-    pre-processed string, so it is a fixpoint too.
+    Idempotent *by construction*: the returned string is stripped, so the
+    output can never carry leading/trailing whitespace that a second pass
+    would remove. This kills the whole bug CLASS, not single instances:
+    v1 failed on ``'0 #'`` (fragment shielded the trim), v2 fixed that by
+    dropping the fragment before trimming but failed on ``'0 ?'`` —
+    ``urlsplit`` parses an *empty* query there, ``urlunsplit`` drops the
+    bare ``'?'``, and the path's trailing space resurfaces in the output.
+    Any such delimiter-drop variant is now harmless because a canonical
+    form that ends (or starts) with whitespace is never emitted: whatever
+    the inner transform produces, the final ``.strip()`` makes the result
+    a fixpoint of the leading/trailing-whitespace dimension, and every
+    other transform (lowercase, dot-segment removal, pct-normalization,
+    default-port drop) is individually idempotent. The ValueError path
+    returns the same pre-processed (already stripped, fragment-free)
+    string, so it is a fixpoint too.
     """
     s = url.strip()
     i = s.find("#")
@@ -117,7 +127,7 @@ def canonicalize(url: str) -> str:
     if netloc and not path:
         path = "/"
     query = _norm_pct(parts.query)
-    return urlunsplit((scheme, netloc, path, query, ""))
+    return urlunsplit((scheme, netloc, path, query, "")).strip()
 
 
 #: Frozen PSL-lite: second-level public suffixes under which the
