@@ -39,6 +39,27 @@ from track0s.robots import RobotsTable  # noqa: E402
 PROFILES = {"sf-unit": webgen.SF_UNIT, "sf-correct": webgen.SF_CORRECT}
 
 
+def _recover_parquet(path: str) -> bool:
+    """Heal a torn _write_parquet_recoverable swap (ADVICE r2): a kill
+    between ``os.replace(path, bak)`` and ``os.replace(tmp, path)``
+    leaves the saved set only at ``path.bak`` (old, complete) and/or
+    ``path.tmp`` (new, complete iff Spark's _SUCCESS marker exists).
+    Prefer the NEW set when it finished, else fall back to the backup.
+    Returns True if a recovery rename was performed."""
+    if os.path.exists(path):
+        return False
+    tmp, bak = path + ".tmp", path + ".bak"
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.replace(tmp, path)
+        print(f"[crawl] recovered saved set from interrupted write: {tmp}")
+        return True
+    if os.path.isdir(bak):
+        os.replace(bak, path)
+        print(f"[crawl] recovered saved set from backup: {bak}")
+        return True
+    return False
+
+
 def _write_parquet_recoverable(df, path: str) -> None:
     """Write to path+'.tmp', back up the old set to path+'.bak', then
     swap. Directory swaps cannot be truly atomic on POSIX, but every
@@ -212,8 +233,13 @@ def main(argv=None) -> int:
 
             from track0_spark.operators.revisit import revisit_merge
 
+            if args.saved_out:
+                _recover_parquet(args.saved_out)
             if not args.saved_out or not os.path.exists(args.saved_out):
-                ap.error("--update requires an existing --saved-out parquet")
+                ap.error(
+                    "--update requires an existing --saved-out parquet "
+                    "(auto-recovery from .tmp/.bak found nothing)"
+                )
             prev = spark.read.parquet(args.saved_out)
             # persist: the counts collect and the parquet write would
             # otherwise each execute the full merge (md5 over every

@@ -72,3 +72,39 @@ def test_crawl_mirror_then_update(tmp_path):
     t2 = pq.read_table(saved_out).sort_by("url_canon")
     t1 = t.sort_by("url_canon")
     assert t1.equals(t2)
+
+
+def test_update_recovers_torn_swap(tmp_path):
+    """Regression (ADVICE r2): a kill between os.replace(path, bak) and
+    os.replace(tmp, path) in _write_parquet_recoverable leaves the saved
+    set only at path+'.bak' (and/or a complete path+'.tmp'); a later
+    --update must auto-recover instead of hard-failing."""
+    saved_out = str(tmp_path / "saved.parquet")
+    _run_cli(
+        [
+            "--profile", "sf-unit", "--rounds", "4", "--cores", "4",
+            "--head", "0", "--saved-out", saved_out,
+        ]
+    )
+    t = pq.read_table(saved_out)
+
+    # simulate the kill window: old set shunted to .bak, no new tmp
+    os.replace(saved_out, saved_out + ".bak")
+    upd = _run_cli(
+        ["--profile", "sf-unit", "--update", "--cores", "4",
+         "--saved-out", saved_out]
+    )
+    assert upd["update"].get("unchanged", 0) == t.num_rows
+    assert os.path.exists(saved_out)
+    assert not os.path.exists(saved_out + ".bak")
+
+    # simulate the later kill window: new COMPLETE tmp (with _SUCCESS),
+    # old set at .bak — the finished new set must win
+    os.replace(saved_out, saved_out + ".tmp")
+    assert os.path.exists(saved_out + ".tmp/_SUCCESS")
+    upd2 = _run_cli(
+        ["--profile", "sf-unit", "--update", "--cores", "4",
+         "--saved-out", saved_out]
+    )
+    assert upd2["update"].get("unchanged", 0) == t.num_rows
+    assert os.path.exists(saved_out)

@@ -109,3 +109,38 @@ def test_design_load_not_saturated():
     assert 0.5 < c.fill_ratio() <= 1.0  # rows actually reachable
     fresh = rng.integers(0, 2**62, size=50_000, dtype=np.int64)
     assert c.might_contain_many(fresh).mean() < 0.05
+
+
+def test_non_power_of_two_buckets_rejected():
+    """Regression (ADVICE r2): uint64-mod and Spark pmod routing only
+    agree when n_buckets is a power of two; any other count must be
+    rejected up front rather than silently producing false negatives
+    on negative keys."""
+    import pytest
+
+    for bad in (3, 12, 48, 100):
+        with pytest.raises(ValueError):
+            PartitionedCuckoo(expected_keys=1024, n_buckets=bad)
+    PartitionedCuckoo(expected_keys=1024, n_buckets=16)  # pow2 fine
+
+
+def test_delete_in_saturated_bucket_is_skipped():
+    """Regression (ADVICE r2): keys routed to a saturated bucket were
+    never stored (_insert_one early-returns), so delete_many must skip
+    them — otherwise a fingerprint match could erase ANOTHER key's copy
+    and n_keys would drift below the true stored count."""
+    c = PartitionedCuckoo(expected_keys=1024, n_buckets=4)
+    first = keys_of([f"http://h.test/{i}" for i in range(20000)])
+    c.add_many(first)
+    assert c.saturated.all()  # 20x overfull tiny filter
+    stored_before = c.n_keys
+    # "insert" then "retire" fresh keys post-saturation: none stored,
+    # so none may be deleted and n_keys must not move
+    late = keys_of([f"http://late.test/{i}" for i in range(500)])
+    c.add_many(late)
+    assert c.n_keys == stored_before
+    assert c.delete_many(late) == 0
+    assert c.n_keys == stored_before
+    # membership still answers 'maybe' for everything in saturated buckets
+    assert c.might_contain_many(first).all()
+    assert c.might_contain_many(late).all()

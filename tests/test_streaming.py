@@ -146,3 +146,42 @@ def test_watermark_window_metrics(spark, tmp_path):
     assert rows[("hA", 0)]["bytes"] == 200
     assert rows[("hB", 0)]["fetches"] == 1
     assert rows[("hA", 180)]["fetches"] == 1 and rows[("hA", 180)]["bytes"] == 10
+
+
+def test_politeness_budget_mismatch_fails_loudly(spark, tmp_path):
+    """Regression (ADVICE r2): the budget is part of the checkpointed
+    state; restarting the stream from the same checkpoint with a
+    DIFFERENT budget must fail loudly, not silently reinterpret the
+    carried host totals against the new limit."""
+    import pytest
+
+    from track0_spark.streaming import politeness
+
+    landing = str(tmp_path / "cand")
+    out = str(tmp_path / "adm")
+    ckpt = str(tmp_path / "ckpt_bm")
+    schema = "host string, url string, fetch_seq bigint"
+
+    rows = [("h0", f"http://h0/p/{i}", i) for i in range(3)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    politeness.run_admission(stream, budget=5, out_dir=out, checkpoint_dir=ckpt)
+
+    more = [("h0", f"http://h0/p/{i}", i) for i in range(3, 6)]
+    spark.createDataFrame(more, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    with pytest.raises(Exception, match="budget mismatch"):
+        politeness.run_admission(
+            stream, budget=9, out_dir=out, checkpoint_dir=ckpt
+        )
+    # and the ORIGINAL budget still resumes cleanly after the failure
+    stream = spark.readStream.schema(schema).parquet(landing)
+    politeness.run_admission(stream, budget=5, out_dir=out, checkpoint_dir=ckpt)
+    h0 = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["fetch_seq"]
+    )
+    assert [r["admitted"] for r in h0] == [True] * 5 + [False]

@@ -100,6 +100,14 @@ class PartitionedCuckoo:
         n_buckets: int = 64,
         slots: int = 4,
     ):
+        # Power-of-two bucket counts ONLY: key_parts routes with an
+        # unsigned-64 mod while the distributed builder's Spark-side
+        # bucket expression uses pmod on the signed key; the two agree
+        # exactly when 2^64 % n_buckets == 0, i.e. n_buckets is a power
+        # of two. For any other count, probes would read the wrong
+        # bucket table for negative keys -> FALSE NEGATIVES (ADVICE r2).
+        if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_buckets = n_buckets
         self.slots = slots
         per_bucket = max(1024, expected_keys // n_buckets)
@@ -151,6 +159,13 @@ class PartitionedCuckoo:
         bucket, fp, i1, i2 = self._parts(keys)
         removed = 0
         for b, f, r1, r2 in zip(bucket, fp, i1, i2):
+            if self.saturated[int(b)]:
+                # Keys routed here after saturation were never stored
+                # (_insert_one early-returns), so a fingerprint match now
+                # could be a DIFFERENT key's copy; deleting it would make
+                # n_keys drift and erase another key's membership record.
+                # The saturated flag keeps membership correct regardless.
+                continue
             t = self.table[int(b)]
             for r in (int(r1), int(r2)):
                 hit = np.nonzero(t[r] == f)[0]
@@ -227,7 +242,11 @@ def build_cuckoo_distributed(
 
     rows = (
         seen_df.select(
-            (F.col("url_h64") % F.lit(n_buckets)).cast("int").alias("bucket"),
+            # pmod (non-negative) matches key_parts' uint64 mod exactly
+            # for power-of-two n_buckets (asserted in __init__ above);
+            # plain signed % would route negative keys to a bucket index
+            # that only wraps correctly by numpy accident.
+            F.pmod(F.col("url_h64"), F.lit(n_buckets)).cast("int").alias("bucket"),
             "url_h64",
         )
         .groupBy("bucket")

@@ -37,7 +37,13 @@ OUTPUT_SCHEMA = (
     "host string, url string, fetch_seq bigint, admitted boolean, "
     "host_total bigint"
 )
-STATE_SCHEMA = "total bigint"
+# The budget rides INSIDE the checkpointed state (ADVICE r2): a restart
+# from the same checkpoint with a different budget would otherwise
+# silently reinterpret the carried totals against the new limit
+# (lowering it retroactively blocks nothing already admitted; raising
+# it re-admits hosts mid-stream). Baking it in turns that silent
+# reinterpretation into a loud per-host error on the first batch.
+STATE_SCHEMA = "total bigint, budget bigint"
 
 
 def _admit_fn(budget: int):
@@ -45,7 +51,18 @@ def _admit_fn(budget: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
-        total = state.get[0] if state.exists else 0
+        if state.exists:
+            total, prev_budget = state.get
+            if prev_budget != budget:
+                raise ValueError(
+                    f"politeness budget mismatch for host {host!r}: "
+                    f"checkpointed state was built with budget="
+                    f"{prev_budget}, stream restarted with budget="
+                    f"{budget}; resume with the original budget or use "
+                    "a fresh checkpoint dir"
+                )
+        else:
+            total = 0
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
             "fetch_seq", kind="mergesort"
         )
@@ -57,7 +74,7 @@ def _admit_fn(budget: int):
                 total += 1
             admitted.append(ok)
             totals.append(total)
-        state.update((int(total),))
+        state.update((int(total), int(budget)))
         yield pd.DataFrame(
             {
                 "host": host,
