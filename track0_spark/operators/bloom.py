@@ -58,6 +58,30 @@ def bucket_bitmap(keys: np.ndarray, bucket_bits: int, n_hashes: int) -> np.ndarr
     return out
 
 
+def probe_bitmap(
+    keys: np.ndarray, bits: np.ndarray, bucket_bits: int, n_hashes: int
+) -> np.ndarray:
+    """Membership verdicts for keys against ONE bucket's bitmap — the
+    single-bucket twin of ``PartitionedBloom.might_contain_many``, used
+    by the co-located gate whose tasks each hold only their own
+    bucket's bytes (operators/bloom_colocated.py). Same
+    Kirsch-Mitzenmacher positions as ``bucket_bitmap``, so anything
+    that kernel set, this one finds."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    h1 = (k >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
+    h2 = (k & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    mask = np.uint64(bucket_bits - 1)
+    out = np.ones(len(k), dtype=bool)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        out &= (bits[byte_idx] & bit) != 0
+    return out
+
+
 class PartitionedBloom:
     def __init__(
         self,

@@ -69,7 +69,7 @@ class CrawlLoop:
         #: distributed) or "cuckoo" (deletable; operators/cuckoo.py).
         #: Both preserve exactness by construction; the probe interface
         #: is identical so the round plan never knows which it got.
-        assert gate in ("bloom", "cuckoo")
+        assert gate in ("bloom", "cuckoo", "bloom-colocated")
         self.gate_kind = gate
         #: compact the fragmented seen deltas every K committed rounds
         #: (0 = off). Pure optimization: load_seen output is identical
@@ -90,6 +90,19 @@ class CrawlLoop:
         semantics — no false negatives — is not; tests assert the crawl
         output is invariant)."""
         seen = self.store.load_seen(upto_round).select("url_h64")
+        if self.gate_kind == "bloom-colocated":
+            from ..operators.bloom_colocated import ColocatedBloomGate
+
+            gate = ColocatedBloomGate(
+                self.spark,
+                self.store.root,
+                expected_keys=self.bloom_expected_keys,
+            )
+            # self-heal any round whose bloom_delta is missing (fresh
+            # store, gate-off history, or a crash between a commit and
+            # its gate write) from that round's seen_delta
+            gate.ensure(upto_round)
+            return gate
         if self.gate_kind == "cuckoo":
             from ..operators.cuckoo import build_cuckoo_distributed
 
@@ -126,6 +139,7 @@ class CrawlLoop:
             )
             latest = 0
         summary = CrawlSummary()
+        colocated = self.use_bloom and self.gate_kind == "bloom-colocated"
         bloom = self._build_bloom(latest) if self.use_bloom else None
         r = latest
         while r < limit:
@@ -135,10 +149,18 @@ class CrawlLoop:
             frontier = self.store.load_frontier(r)
             seen = self.store.load_seen(r)
             rt0 = time.time()
-            bloom_bc = (
-                self.spark.sparkContext.broadcast(bloom) if bloom is not None else None
+            if colocated:
+                bloom_bc, gate_probe = None, bloom.make_probe(r)
+            else:
+                bloom_bc = (
+                    self.spark.sparkContext.broadcast(bloom)
+                    if bloom is not None
+                    else None
+                )
+                gate_probe = None
+            res = self.planner.run_round(
+                r, frontier, seen, bloom_bc=bloom_bc, gate_probe=gate_probe
             )
-            res = self.planner.run_round(r, frontier, seen, bloom_bc=bloom_bc)
             t_plan = time.time() - rt0
             extra = {
                 "kind": "round",
@@ -152,12 +174,21 @@ class CrawlLoop:
             )
             for df in res.persisted:
                 df.unpersist()
-            if bloom is not None:
+            if colocated:
+                # O(delta) distributed maintenance: the committed round's
+                # seen_delta -> per-bucket delta bitmaps, written next to
+                # it; the driver never reads a key (VERDICT r2 #2)
+                bloom.write_delta(
+                    r + 1, self.store.load_seen_delta(r + 1)
+                )
+            elif bloom is not None:
                 bloom.add_many(self.store.read_delta_column(r + 1, "url_h64"))
                 bloom_bc.destroy()
                 man2["bloom_fill"] = round(bloom.fill_ratio(), 4)
             if self.compact_every and (r + 1) % self.compact_every == 0:
                 man2["compact"] = self.store.compact_seen(r + 1)
+                if colocated:
+                    man2["compact"]["bloom"] = bloom.compact(r + 1)
             man2["round_wall_s"] = round(time.time() - rt0, 3)
             summary.round_metrics.append(man2)
             summary.fetched += man2["counts"]["crawl_log"]

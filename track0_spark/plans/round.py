@@ -135,7 +135,12 @@ class RoundPlanner:
     # ---------------- one round ----------------
 
     def run_round(
-        self, r: int, frontier: DataFrame, seen: DataFrame, bloom_bc=None
+        self,
+        r: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        bloom_bc=None,
+        gate_probe=None,
     ) -> RoundResult:
         cfg = self.cfg
 
@@ -296,6 +301,16 @@ class RoundPlanner:
             .filter(F.col("_ord") == F.col("_min_ord"))
             .drop("_ord", "_min_ord")
         )
+
+        # D3 co-located variant: the gate verdict comes from a
+        # bucket-aligned applyInPandas whose tasks each read only their
+        # own bucket's bitmap from storage (operators/bloom_colocated.py)
+        # — no whole-structure broadcast. Runs AFTER dedup so it probes
+        # unique candidates only; the extract UDF left maybe_seen=True
+        # everywhere (bloom_bc is None in this mode) and the verdict
+        # replaces it.
+        if gate_probe is not None:
+            cand = gate_probe(cand)
 
         # D3 + D2: bloom-negative rows are PROVABLY unseen (no false
         # negatives) and skip the join; maybe-seen rows get the exact

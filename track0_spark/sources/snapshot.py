@@ -218,6 +218,17 @@ class SnapshotStore:
             )
         return self.spark.read.parquet(*(paths + delta_paths))
 
+    def load_seen_delta(self, rnd: int) -> DataFrame:
+        """One round's seen_delta as a DataFrame (feeds the co-located
+        gate's distributed O(delta) maintenance — the executor-side
+        twin of ``read_delta_column``). Same torn-store contract."""
+        path = os.path.join(self._dir(rnd), "seen_delta")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"seen store is torn: round {rnd} has no seen_delta dir"
+            )
+        return self.spark.read.parquet(path)
+
     def read_delta_column(self, rnd: int, column: str):
         """One seen_delta column of round ``rnd`` as a numpy array, read
         driver-side via pyarrow (no Spark job) — feeds the bloom gate."""
