@@ -34,6 +34,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..schemas import CRAWL_LOG, FRONTIER, SEEN
+
 FORMAT_VERSION = 2
 
 
@@ -135,7 +137,11 @@ class SnapshotStore:
         return manifest
 
     def load_frontier(self, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._dir(rnd), "frontier"))
+        # explicit schema: skips the per-round parquet footer schema
+        # inference (driver fixed cost — VERDICT r2 next #3)
+        return self.spark.read.schema(FRONTIER).parquet(
+            os.path.join(self._dir(rnd), "frontier")
+        )
 
     def _compact_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"compact_{rnd:05d}")
@@ -216,7 +222,7 @@ class SnapshotStore:
                 f"seen store is torn: missing delta dirs {missing[:3]}"
                 f"{' …' if len(missing) > 3 else ''} for rounds <= {rnd}"
             )
-        return self.spark.read.parquet(*(paths + delta_paths))
+        return self.spark.read.schema(SEEN).parquet(*(paths + delta_paths))
 
     def load_seen_delta(self, rnd: int) -> DataFrame:
         """One round's seen_delta as a DataFrame (feeds the co-located
@@ -227,7 +233,7 @@ class SnapshotStore:
             raise FileNotFoundError(
                 f"seen store is torn: round {rnd} has no seen_delta dir"
             )
-        return self.spark.read.parquet(path)
+        return self.spark.read.schema(SEEN).parquet(path)
 
     def read_delta_column(self, rnd: int, column: str):
         """One seen_delta column of round ``rnd`` as a numpy array, read
@@ -267,4 +273,4 @@ class SnapshotStore:
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.schema(CRAWL_LOG).parquet(*paths)
