@@ -106,27 +106,51 @@ def _saved_set(loop, pages):
     return with_save_metadata(saved)
 
 
-def _materialize_files(spark, saved_df, out_dir: str) -> int:
-    """Stream the rewritten mirror to local files (toLocalIterator —
-    one partition in memory at a time, never a full collect)."""
+def _materialize_files(
+    spark, saved_df, out_dir: str, distributed: bool = False
+) -> int:
+    """Write the rewritten mirror as files under ``out_dir``.
+
+    Default (driver) mode streams via toLocalIterator — one partition
+    in memory at a time, never a full collect; right for local runs
+    where only the driver sees the target filesystem. With
+    ``distributed=True`` each PARTITION writes its own files
+    executor-side (mapPartitions over a shared filesystem — the
+    cluster-scale path, VERDICT r2 next #8): local_path is unique per
+    url, so concurrent tasks never collide, and only per-partition
+    counts return to the driver."""
     from track0_spark.operators.mirror import materialize_mirror
 
     handles: list = []
     mir = materialize_mirror(spark, saved_df, handles=handles)
-    n = 0
     root = os.path.realpath(out_dir)
-    for row in mir.toLocalIterator():
-        p = os.path.realpath(os.path.join(out_dir, row["local_path"]))
-        # belt-and-braces with mirror._safe_seg: never write outside
-        # the mirror root, whatever a hostile URL decoded to
-        if not p.startswith(root + os.sep):
-            raise ValueError(
-                f"mirror path escapes {out_dir!r}: {row['local_path']!r}"
-            )
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "wb") as f:
-            f.write(bytes(row["html"]))
-        n += 1
+
+    def write_rows(rows) -> int:
+        import os as _os
+
+        n = 0
+        for row in rows:
+            p = _os.path.realpath(_os.path.join(out_dir, row["local_path"]))
+            # belt-and-braces with mirror._safe_seg: never write outside
+            # the mirror root, whatever a hostile URL decoded to
+            if not p.startswith(root + _os.sep):
+                raise ValueError(
+                    f"mirror path escapes {out_dir!r}: {row['local_path']!r}"
+                )
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(bytes(row["html"]))
+            n += 1
+        return n
+
+    if distributed:
+        n = (
+            mir.select("local_path", "html")
+            .rdd.mapPartitions(lambda rows: [write_rows(rows)])
+            .sum()
+        )
+    else:
+        n = write_rows(mir.toLocalIterator())
     for h in handles:
         h.unpersist()
     return n
@@ -167,6 +191,12 @@ def main(argv=None) -> int:
         help="record per-partition frontier row counts in each round manifest",
     )
     ap.add_argument("--robots-parquet", default=None)
+    ap.add_argument(
+        "--psl",
+        default=None,
+        help="Public Suffix List file (publicsuffix.org dat format) for "
+        "original-reg-domain; default: built-in frozen subset",
+    )
     ap.add_argument("--head", type=int, default=10, help="crawl_log rows to print")
     ap.add_argument(
         "--saved-out",
@@ -181,6 +211,12 @@ def main(argv=None) -> int:
         help="revisit mode: skip the crawl; conditional-refetch the existing "
         "--saved-out parquet against the current pages table (etag/"
         "last-modified MERGE, one row per url) and atomically replace it",
+    )
+    ap.add_argument(
+        "--mirror-distributed",
+        action="store_true",
+        help="write mirror files executor-side (mapPartitions over a "
+        "shared filesystem) instead of streaming through the driver",
     )
     ap.add_argument(
         "--mirror-out",
@@ -262,7 +298,10 @@ def main(argv=None) -> int:
             out = {"update": counts, "saved_out": args.saved_out}
             if args.mirror_out:
                 out["mirror_files"] = _materialize_files(
-                    spark, spark.read.parquet(args.saved_out), args.mirror_out
+                    spark,
+                    spark.read.parquet(args.saved_out),
+                    args.mirror_out,
+                    distributed=args.mirror_distributed,
                 )
                 out["mirror_out"] = args.mirror_out
             print(json.dumps(out))
@@ -276,6 +315,7 @@ def main(argv=None) -> int:
             robots=robots,
             default_budget=args.budget,
             max_rounds=args.rounds,
+            psl_path=args.psl,
         )
         ckpt = args.ckpt or tempfile.mkdtemp(prefix="track0s-ckpt-")
         loop = CrawlLoop(
@@ -309,7 +349,8 @@ def main(argv=None) -> int:
                     saved = spark.read.parquet(args.saved_out)
                 if args.mirror_out:
                     out["mirror_files"] = _materialize_files(
-                        spark, saved, args.mirror_out
+                        spark, saved, args.mirror_out,
+                        distributed=args.mirror_distributed,
                     )
                     out["mirror_out"] = args.mirror_out
         print(json.dumps(out))

@@ -90,6 +90,7 @@ def link_attrs(
         "size": size,
         "seed_hosts": cfg.seed_hosts,
         "seed_prefixes": cfg.seed_prefixes,
+        "psl": cfg.psl,
     }
 
 

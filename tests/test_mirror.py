@@ -249,3 +249,39 @@ def test_local_path_never_escapes_root():
         assert "." not in lp.split("/")[:-1], (u, lp)
         joined = os.path.normpath(os.path.join("/mirror/root", lp))
         assert joined.startswith("/mirror/root/"), (u, lp, joined)
+
+
+def test_materialize_distributed_matches_driver(spark, tmp_path):
+    """jobs/crawl._materialize_files distributed=True (executor-side
+    mapPartitions writes, VERDICT r2 next #8) produces the EXACT file
+    set and bytes of the default driver-streamed mode."""
+    import os
+
+    from jobs.crawl import _materialize_files
+
+    rows = [
+        (
+            f"http://h{i % 3}.test/p/{i}",
+            f'<a href="http://h{(i + 1) % 3}.test/p/{i + 1}">x</a>'.encode(),
+        )
+        for i in range(60)
+    ]
+    saved = spark.createDataFrame(rows, "url_canon string, html binary")
+    d_drv = str(tmp_path / "drv")
+    d_dist = str(tmp_path / "dist")
+    n1 = _materialize_files(spark, saved, d_drv)
+    n2 = _materialize_files(spark, saved, d_dist, distributed=True)
+    assert n1 == n2 == 60
+
+    def snap(root):
+        out = {}
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = fh.read()
+        return out
+
+    a, b = snap(d_drv), snap(d_dist)
+    assert a.keys() == b.keys()
+    assert a == b

@@ -38,6 +38,56 @@ def reg_domain_col(host_col: str = "host") -> Column:
     )
 
 
+def reg_domain_col_psl(psl, host_col: str = "host") -> Column:
+    """Native compilation of a parsed Public Suffix List
+    (track0s/psl.py): per-level membership predicates over the host's
+    trailing labels, exceptions first (absolute priority), then
+    longest-match. ``F.get`` (null-safe, 0-based) instead of
+    ``element_at`` so short hosts never trip ANSI index errors;
+    ``concat_ws`` skips the resulting NULLs and a dotted level-k rule
+    can never equal an under-length join, so the ``n >= k`` guards are
+    semantic, not safety. Rule lists land as literal IN-sets (hash
+    lookups in codegen) — the full ~9k-entry PSL compiles the same way,
+    just with bigger sets."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.get(parts, n - i) for i in range(k, 0, -1)]
+        )
+
+    conds: list[tuple[Column, int]] = []
+    for k in sorted(psl.exception, reverse=True):
+        conds.append(
+            (
+                (n >= k) & lastk(k).isin(sorted(psl.exception[k])),
+                k - 1,
+            )
+        )
+    ks = sorted(
+        set(list(psl.exact) + [pk + 1 for pk in psl.wildcard]), reverse=True
+    )
+    for k in ks:
+        cond = F.lit(False)
+        if k in psl.exact:
+            cond = cond | ((n >= k) & lastk(k).isin(sorted(psl.exact[k])))
+        if (k - 1) in psl.wildcard:
+            cond = cond | (
+                (n >= k) & lastk(k - 1).isin(sorted(psl.wildcard[k - 1]))
+            )
+        conds.append((cond, k))
+    suffix_k: Column = F.lit(1)
+    if conds:
+        case = F.when(conds[0][0], F.lit(conds[0][1]))
+        for cond, k in conds[1:]:
+            case = case.when(cond, F.lit(k))
+        suffix_k = case.otherwise(F.lit(1))
+    return F.when(n <= suffix_k, F.col(host_col)).otherwise(
+        F.concat_ws(".", F.slice(parts, n - suffix_k, suffix_k + F.lit(1)))
+    )
+
+
 def _num_pred(col: Column, op: str, value: int) -> Column:
     if op == "<=":
         return col <= value
@@ -50,15 +100,21 @@ def _num_pred(col: Column, op: str, value: int) -> Column:
     return col == value
 
 
-def rule_predicate(rule: Rule, seed_hosts: list[str], seed_prefixes: list[str]) -> Column:
+def rule_predicate(
+    rule: Rule,
+    seed_hosts: list[str],
+    seed_prefixes: list[str],
+    psl=None,
+) -> Column:
     t = rule.test
     if t == "original-domain":
         return F.col("host").isin(list(seed_hosts)) if seed_hosts else F.lit(False)
     if t == "original-reg-domain":
-        seed_regs = sorted({registered_domain(h) for h in seed_hosts})
-        return (
-            reg_domain_col().isin(seed_regs) if seed_regs else F.lit(False)
-        )
+        seed_regs = sorted({registered_domain(h, psl) for h in seed_hosts})
+        if not seed_regs:
+            return F.lit(False)
+        col = reg_domain_col() if psl is None else reg_domain_col_psl(psl)
+        return col.isin(seed_regs)
     if t == "same-domain":
         return F.col("via_host").isNotNull() & (F.col("host") == F.col("via_host"))
     if t == "down":
@@ -81,10 +137,11 @@ def compile_rules(
     default: bool,
     seed_hosts: list[str],
     seed_prefixes: list[str],
+    psl=None,
 ) -> Column:
     """Ordered pipeline -> one boolean Column; last matching rule wins."""
     decision = F.lit(bool(default))
     for r in rules:
-        pred = rule_predicate(r, seed_hosts, seed_prefixes)
+        pred = rule_predicate(r, seed_hosts, seed_prefixes, psl=psl)
         decision = F.when(pred, F.lit(r.sign)).otherwise(decision)
     return decision

@@ -73,9 +73,15 @@ class RoundPlanner:
         )
         hosts = sorted(cfg.seed_hosts)
         prefixes = list(cfg.seed_prefixes)
-        self.follow_col = compile_rules(cfg.follow, DEFAULTS["follow"], hosts, prefixes)
-        self.save_col = compile_rules(cfg.save, DEFAULTS["save"], hosts, prefixes)
-        self.stop_col = compile_rules(cfg.stop, DEFAULTS["stop"], hosts, prefixes)
+        self.follow_col = compile_rules(
+            cfg.follow, DEFAULTS["follow"], hosts, prefixes, psl=cfg.psl
+        )
+        self.save_col = compile_rules(
+            cfg.save, DEFAULTS["save"], hosts, prefixes, psl=cfg.psl
+        )
+        self.stop_col = compile_rules(
+            cfg.stop, DEFAULTS["stop"], hosts, prefixes, psl=cfg.psl
+        )
         self.robots_df = spark.createDataFrame(
             [
                 (

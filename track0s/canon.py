@@ -146,10 +146,15 @@ _TWO_LEVEL_SUFFIXES = frozenset(
 )
 
 
-def registered_domain(host: str) -> str:
-    """PSL-lite registrable domain: last two labels, or last three when
-    the last two form a known second-level public suffix. Single-label
-    hosts (and IPs treated as labels) return unchanged."""
+def registered_domain(host: str, psl=None) -> str:
+    """Registrable domain. With ``psl`` (a ``track0s.psl.
+    PublicSuffixList``) the full publicsuffix.org algorithm applies —
+    wildcards, exceptions, 3+-level suffixes (VERDICT r2 #5). Without
+    one, the frozen PSL-lite subset: last two labels, or last three
+    when the last two form a known second-level public suffix.
+    Single-label hosts (and IPs treated as labels) return unchanged."""
+    if psl is not None:
+        return psl.registered_domain(host)
     labels = host.split(".")
     if len(labels) < 2:
         return host

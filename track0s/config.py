@@ -52,6 +52,9 @@ class CrawlConfig:
     robots: RobotsTable = field(default_factory=RobotsTable)
     default_budget: int = DEFAULT_BUDGET
     max_rounds: int = 100
+    #: optional Public Suffix List for original-reg-domain (track0s/psl.py);
+    #: None -> the frozen PSL-lite subset in canon.registered_domain
+    psl: object = None
 
     # derived (filled in __post_init__)
     seed_canon: list[str] = field(default_factory=list)
@@ -77,7 +80,13 @@ class CrawlConfig:
         robots: RobotsTable | None = None,
         default_budget: int = DEFAULT_BUDGET,
         max_rounds: int = 100,
+        psl_path: str | None = None,
     ) -> "CrawlConfig":
+        psl = None
+        if psl_path is not None:
+            from .psl import PublicSuffixList
+
+            psl = PublicSuffixList.from_file(psl_path)
         return CrawlConfig(
             seeds=list(seeds),
             follow=parse_pipeline(follow),
@@ -86,6 +95,7 @@ class CrawlConfig:
             robots=robots or RobotsTable(default_budget=default_budget),
             default_budget=default_budget,
             max_rounds=max_rounds,
+            psl=psl,
         )
 
     def rule_defaults(self) -> dict:

@@ -171,6 +171,14 @@ def rule_matches(rule: Rule, attrs: dict) -> bool:
         h = attrs.get("host")
         if h is None:
             return False
+        psl = attrs.get("psl")
+        if psl is not None:
+            # full-PSL path: tiny seed set, no caching needed
+            seed_regs = {
+                registered_domain(s, psl)
+                for s in attrs.get("seed_hosts", ())
+            }
+            return registered_domain(h, psl) in seed_regs
         return registered_domain(h) in _seed_reg_domains(
             frozenset(attrs.get("seed_hosts", ()))
         )
