@@ -86,6 +86,63 @@ def main() -> int:
         for df in res_co.persisted:
             df.unpersist()
 
+    # Bucketed-storage joins (sources/bucketed.py, VERDICT r2 #4): the
+    # Hive-bucketing demonstration of the Iceberg bucket(url) production
+    # notes — seen anti-join with the bucketed side Exchange-free, fetch
+    # join with ZERO Exchange on either side.
+    import tempfile as _tf
+
+    from track0_spark.sources.bucketed import (
+        fetch_join_bucketed,
+        seen_anti_join_bucketed,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _tf.TemporaryDirectory() as bdir:
+        seen_df = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}", i) for i in range(400)],
+            "url_canon string, first_round int",
+        )
+        cand_df = spark.createDataFrame(
+            [(f"http://h{i % 5}.test/p/{i}", 1000 + i) for i in range(200, 600)],
+            "url_canon string, _ord long",
+        )
+        write_bucketed(seen_df, "pl_seen_b", f"{bdir}/seen", "url_canon", nb)
+        sections.append(
+            (
+                "Bucketed seen anti-join (bucketBy(url_canon) seen table: "
+                "'Bucketed: true' scan, NO Exchange above it — the probe "
+                "side's dedup exchanges are the only ones left)",
+                grab(seen_anti_join_bucketed(spark, cand_df, "pl_seen_b")),
+            )
+        )
+        fr_df = spark.createDataFrame(
+            [(f"http://h.test/p/{i}", i % 7) for i in range(300)],
+            "url_canon string, depth int",
+        )
+        pg_df = spark.createDataFrame(
+            [
+                (f"http://h.test/p/{i}", f"<html>{i}</html>".encode())
+                for i in range(0, 600, 2)
+            ],
+            "url string, html binary",
+        )
+        write_bucketed(fr_df, "pl_frontier_b", f"{bdir}/fr", "url_canon", nb)
+        write_bucketed(pg_df, "pl_pages_b", f"{bdir}/pg", "url", nb)
+        sections.append(
+            (
+                "Bucketed fetch join (frontier + pages co-bucketed on url: "
+                "ZERO Exchange in the whole plan — the html side is neither "
+                "shuffled nor broadcast-filtered)",
+                grab(fetch_join_bucketed(spark, "pl_frontier_b", "pl_pages_b")),
+            )
+        )
+        for t in ("pl_seen_b", "pl_frontier_b", "pl_pages_b"):
+            spark.sql(f"DROP TABLE {t}")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     for name in (
         "q01_agg_metrics",
         "q13_multi_join",
