@@ -220,3 +220,42 @@ def test_minhash_short_docs_not_near_dups(spark):
         for r in dedup.minhash_dedup_pairs(df, "doc_id", "text", 0.3).collect()
     }
     assert plug == {(3, 4)}
+
+
+def test_repetition_fold_matches_python(spark, tmp_path):
+    """q36's sorted-run fold (max bigram count, partition-local) must
+    equal a plain Python Counter over the same bigrams, including the
+    degenerate 0/1-token docs."""
+    import collections
+    import os
+
+    from track0_spark import contract
+
+    texts = [
+        "a b a b a b c",          # top bigram 'a b' x3
+        "x x x x",                # 'x x' x3
+        "one two three four",     # all bigrams unique
+        "solo",                   # no bigrams
+        "",                       # split('') -> [''] single token
+        "r s r s r s r s r s",
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "syn", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in contract.q36_repetition_quality(spark, sf).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bigrams = [
+            f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+        ]
+        top = max(collections.Counter(bigrams).values(), default=0)
+        r = got[i]
+        assert r["n_tokens"] == len(toks), i
+        assert r["n_distinct"] == len(set(toks)), i
+        assert r["n_bigrams"] == len(bigrams), i
+        assert r["top_bigram_n"] == top, i

@@ -1218,6 +1218,138 @@ FROM b GROUP BY media_id, n_bytes, bin
 # registry
 # --------------------------------------------------------------------------
 
+def q36_repetition_quality(spark, sf):
+    """Gopher-style repetition quality signals, fully native and
+    PARTITION-LOCAL: per doc, token counts, distinct-token count, and
+    the most-frequent-bigram count via a sorted-run fold over the
+    token array (array_sort + aggregate) — zero shuffle beyond the
+    scan, so the op costs one map pass at any corpus size. The keep
+    flag applies the duplicate-word (<=20%) and top-bigram (<=18%)
+    thresholds in INTEGER arithmetic so both engines agree exactly.
+    DuckDB twin counts bigrams by explode+group — same numbers, the
+    verification form of the fold."""
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("t"))
+    n = F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", "t", F.array_sort(bigrams).alias("bg"))
+    # max run length in the sorted bigram array == max bigram count
+    top = F.aggregate(
+        F.col("bg"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    out = d.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        top.cast("bigint").alias("top_bigram_n"),
+    )
+    return out.select(
+        "*",
+        (
+            (5 * (F.col("n_tokens") - F.col("n_distinct")) <= F.col("n_tokens"))
+            & (50 * F.col("top_bigram_n") <= 9 * F.col("n_bigrams"))
+        ).alias("keep"),
+    )
+
+
+Q36_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+                CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams
+         FROM d),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM idx),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+        FROM cnt GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_distinct, b.n_bigrams,
+       CAST(coalesce(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       (5 * (b.n_tokens - b.n_distinct) <= b.n_tokens
+        AND 50 * coalesce(top.top_bigram_n, 0) <= 9 * b.n_bigrams) AS keep
+FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+"""
+
+
+def q37_decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination by n-gram overlap (the GPT-3/PaLM
+    recipe): docs with doc_id % 97 == 0 stand in for the held-out eval
+    set; a corpus doc is contaminated if it shares ANY full 3-gram with
+    a benchmark doc (3 here so the synthetic word-salad corpus yields
+    hits; production uses 8-13-grams — same plan). Shape: explode
+    corpus grams, semi-bucket against the DISTINCT benchmark gram set,
+    count distinct shared grams per doc. The gram join key stays the
+    string at test scale so DuckDB and Spark agree byte-for-byte;
+    production hashes grams to 64-bit before the join (smaller shuffle,
+    same contract)."""
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.get(toks, i),
+                F.get(toks, i + 1),
+                F.get(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
+    )
+
+
+Q37_SQL = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, lang, t,
+               unnest(generate_series(1, len(t) - 2)) AS i FROM d),
+g AS (SELECT doc_id, lang, array_to_string(t[i:i+2], ' ') AS gram FROM idx),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, g.lang,
+       CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id, g.lang
+"""
+
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1254,6 +1386,8 @@ QUERIES = {
     "q33_top_terms_per_lang": (q33_top_terms_per_lang, Q33_SQL),
     "q34_media_features": (q34_media_features, Q34_SQL),
     "q35_length_percentiles": (q35_length_percentiles, Q35_SQL),
+    "q36_repetition_quality": (q36_repetition_quality, Q36_SQL),
+    "q37_decontaminate_ngrams": (q37_decontaminate_ngrams, Q37_SQL),
 }
 
 
