@@ -124,6 +124,26 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _load_control_rows(pages_path: str, n_pages: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(pages_path, columns=["url", "html"])
+    urls = t["url"].to_pylist()[:n_pages]
+    htmls = t["html"].to_pylist()[:n_pages]
+    return list(zip(urls, htmls))
+
+
+def _control_throughput(rows, procs: int) -> float:
+    """pages/s of the parse control kernel at ``procs`` workers."""
+    import multiprocessing as mp
+
+    chunks = [rows[i::procs] for i in range(procs)]
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(procs) as pool:
+        pool.map(_parse_chunk, chunks)
+    return round(len(rows) / (time.time() - t0), 1)
+
+
 def control_kernel(
     pages_path: str, procs_list: list[int], n_pages: int = 12000
 ) -> dict:
@@ -135,25 +155,10 @@ def control_kernel(
     it. Emitted in the bench JSON so the driver's artifact carries the
     evidence. ``efficiency`` is between the first two entries (the
     N -> 4N criterion pair)."""
-    import multiprocessing as mp
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(pages_path, columns=["url", "html"])
-    urls = t["url"].to_pylist()[:n_pages]
-    htmls = t["html"].to_pylist()[:n_pages]
-    rows = list(zip(urls, htmls))
-
-    def run_level(procs: int) -> float:
-        chunks = [rows[i::procs] for i in range(procs)]
-        t0 = time.time()
-        with mp.get_context("spawn").Pool(procs) as pool:
-            pool.map(_parse_chunk, chunks)
-        return round(len(rows) / (time.time() - t0), 1)
-
+    rows = _load_control_rows(pages_path, n_pages)
     # warm-up (page cache, imports), then one timed run per level
     _parse_chunk(rows[:500])
-    thr = [run_level(p) for p in procs_list]
+    thr = [_control_throughput(rows, p) for p in procs_list]
     lo, hi = procs_list[0], procs_list[1]
     return {
         "kernel": "track0s.extract.parse_html (multiprocessing, no Spark)",
@@ -199,6 +204,8 @@ def write_baseline_md(
     profile,
     control: dict | None = None,
     eff_pairs: list[float] | None = None,
+    eff_pairs_host: list | None = None,
+    eff_pairs_net: list | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -244,6 +251,21 @@ def write_baseline_md(
                 f"minutes apart, seeing near-identical hypervisor steal): "
                 + ", ".join(f"{e:.3f}" for e in eff_pairs)
                 + f" — best pair **{max(eff_pairs):.3f}**"
+            )
+        if eff_pairs_net and any(eff_pairs_net):
+            host_s = ", ".join(
+                f"{e:.3f}" if e else "n/a" for e in (eff_pairs_host or [])
+            )
+            net_s = ", ".join(
+                f"{e:.3f}" if e else "n/a" for e in eff_pairs_net
+            )
+            best_net = max(e for e in eff_pairs_net if e)
+            lines.append(
+                f"- host ceiling per matched window (same parse kernel, plain "
+                f"multiprocessing, run alongside each trial): {host_s}; crawl "
+                f"efficiency NET of that ceiling: {net_s} — best "
+                f"**{best_net:.3f}** (1.0 = the engine scales exactly as well "
+                f"as the host allowed in that window)"
             )
         if eff_sat is not None:
             lines.append(
@@ -359,9 +381,28 @@ def main() -> int:
         once each — they inform the peak-throughput headline, not the
         efficiency criterion."""
         series: dict[int, list[dict]] = {c: [] for c in pair + extras}
+        # per-trial host-ceiling sampling: the SAME parse kernel as the
+        # crawl's hot stage, plain multiprocessing, run in the SAME time
+        # window as each crawl trial — the host's deliverable lo->hi
+        # scaling swings run to run (measured 0.64-0.81 across bench
+        # runs on this VM), so a once-per-run control can't contextualize
+        # individual trials; this one can.
+        ctrl_rows = _load_control_rows(pages_path, 6000)
+        _parse_chunk(ctrl_rows[:500])  # warm-up
         for t in range(trials):
             for c in pair:
-                series[c].append(run_crawl(c, pages_path, profile, salt=0))
+                # bracket each trial with a control sample: host bursts
+                # come and go within one trial's timespan (measured: a
+                # 4-core crawl crushed 3x while a control run seconds
+                # later saw a clean host), so one-sided sampling lies
+                ctrl_before = _control_throughput(ctrl_rows, c)
+                r = run_crawl(c, pages_path, profile, salt=0)
+                ctrl_after = _control_throughput(ctrl_rows, c)
+                r["ctrl_pages_per_sec"] = round(
+                    (ctrl_before + ctrl_after) / 2, 1
+                )
+                r["ctrl_pages_per_sec_pair"] = [ctrl_before, ctrl_after]
+                series[c].append(r)
             if t == 0:
                 for c in extras:
                     series[c].append(run_crawl(c, pages_path, profile, salt=0))
@@ -374,6 +415,9 @@ def main() -> int:
                 r["saturated_urls_per_sec"] for r in results
             ]
             best["trials_steal_pct"] = [r["steal_pct"] for r in results]
+            best["trials_ctrl_pages_per_sec"] = [
+                r.get("ctrl_pages_per_sec") for r in results
+            ]
             best["saturated_urls_per_sec"] = max(
                 (s for s in best["trials_saturated_urls_per_sec"] if s),
                 default=best["saturated_urls_per_sec"],
@@ -392,6 +436,7 @@ def main() -> int:
     else:
         crawl_results = run_levels([lo, hi], extras, trials)
     eff = eff_sat = eff_pairs = None
+    eff_pairs_host = eff_pairs_net = None
     if len(crawl_results) >= 2:
         r_lo, r_hi = crawl_results[0], crawl_results[1]
         ratio = r_hi["cores"] / r_lo["cores"]
@@ -413,10 +458,26 @@ def main() -> int:
         eff_pairs = [
             round((h / l) / ratio, 3) for l, h in zip(lo_tr, hi_tr) if l
         ]
+        # host-normalized pairs: each trial's crawl efficiency divided
+        # by the host ceiling the control kernel measured in the SAME
+        # window. net ~ 1.0 means the engine scales as well as the
+        # hardware allowed at that moment; the raw criterion numbers
+        # stay untouched above.
+        lo_ct = r_lo.get("trials_ctrl_pages_per_sec") or []
+        hi_ct = r_hi.get("trials_ctrl_pages_per_sec") or []
+        eff_pairs_host = [
+            round((hc / lc) / ratio, 3) if (lc and hc) else None
+            for lc, hc in zip(lo_ct, hi_ct)
+        ]
+        eff_pairs_net = [
+            round(p / h, 3) if (p and h) else None
+            for p, h in zip(eff_pairs, eff_pairs_host)
+        ]
     control = None if quick else control_kernel(pages_path, [lo, hi] + extras)
     if not quick:  # quick mode must not clobber the real baseline doc
         write_baseline_md(
-            crawl_results, eff, eff_sat, profile, control, eff_pairs
+            crawl_results, eff, eff_sat, profile, control, eff_pairs,
+            eff_pairs_host, eff_pairs_net,
         )
 
     queries = run_queries(sf_dir, peak)
@@ -434,6 +495,8 @@ def main() -> int:
             "scaling_efficiency": eff,
             "scaling_efficiency_saturated": eff_sat,
             "scaling_efficiency_matched_pairs": eff_pairs,
+            "matched_pairs_host_ceiling": eff_pairs_host,
+            "matched_pairs_net_of_host": eff_pairs_net,
             "efficiency_pair": [lo, hi],
             "control_kernel": control,
             "pages": profile.pages,

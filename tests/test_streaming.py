@@ -185,3 +185,136 @@ def test_politeness_budget_mismatch_fails_loudly(spark, tmp_path):
         spark.read.parquet(out).collect(), key=lambda r: r["fetch_seq"]
     )
     assert [r["admitted"] for r in h0] == [True] * 5 + [False]
+
+
+def test_stateful_dedup_across_batches_and_restart(spark, tmp_path):
+    """streaming/dedup.py: first-occurrence verdicts carry across
+    micro-batches AND a query restart; the admitted set equals the
+    batch engine's distinct over the same feed."""
+    from track0_spark.streaming import dedup
+
+    landing = str(tmp_path / "cand")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dd")
+    schema = "url_canon string, fetch_seq bigint"
+
+    b1 = [(f"http://h.test/p/{i}", i) for i in range(20)]
+    b1 += [(f"http://h.test/p/{i}", 100 + i) for i in range(5)]  # in-batch dups
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    dedup.run_dedup(stream, out_dir=out, checkpoint_dir=ckpt, n_groups=8)
+    got1 = spark.read.parquet(out).collect()
+    firsts1 = [r for r in got1 if r["is_first"]]
+    assert len(got1) == 25 and len(firsts1) == 20
+    # within a url, the LOWEST fetch_seq won (deterministic order)
+    for r in firsts1:
+        assert r["fetch_seq"] < 100
+
+    # batch 2 (RESTARTED query, same checkpoint): 10 repeats + 10 fresh
+    b2 = [(f"http://h.test/p/{i}", 200 + i) for i in range(10)]
+    b2 += [(f"http://h.test/q/{i}", 300 + i) for i in range(10)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    dedup.run_dedup(stream, out_dir=out, checkpoint_dir=ckpt, n_groups=8)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 45
+    admitted = sorted(r["url_canon"] for r in rows if r["is_first"])
+    # equals the batch engine's distinct over the same feed
+    want = sorted({u for u, _ in b1 + b2})
+    assert admitted == want and len(admitted) == 30
+    # every repeat of batch 2's /p/ urls was refused
+    assert not any(
+        r["is_first"] for r in rows if 200 <= r["fetch_seq"] < 300
+    )
+
+
+def test_streaming_pipeline_composed(spark, tmp_path):
+    """The full continuous-ingest tier composed end to end, each stage
+    an incremental availableNow drain with its own checkpoint:
+    pages landing -> link extraction (same byte-identical UDF as the
+    batch engine) -> cross-batch stateful dedup -> per-host stateful
+    politeness admission. A second landing of overlapping pages then
+    flows through ALL stages incrementally: already-seen links are
+    refused by dedup state, and admission totals continue from
+    politeness state."""
+    from datagen import webgen
+    from pyspark.sql import functions as F
+
+    from track0_spark.streaming import dedup, ingest, politeness
+
+    rows = webgen.gen_pages(webgen.SF_UNIT)
+    landing = str(tmp_path / "pages")
+    cand_dir = str(tmp_path / "cands")
+    dedup_dir = str(tmp_path / "deduped")
+    admit_dir = str(tmp_path / "admitted")
+    ck = {n: str(tmp_path / f"ck_{n}") for n in ("x", "d", "p")}
+
+    def land(page_rows):
+        spark.createDataFrame(
+            [
+                (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+                for r in page_rows
+            ],
+            "url string, warc_ts long, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain_all():
+        pages = spark.readStream.schema(
+            "url string, warc_ts long, html binary, text string, lang string"
+        ).parquet(landing)
+        ingest.run_available_now(
+            ingest.link_extraction_stream(pages), cand_dir, ck["x"]
+        )
+        cands = (
+            spark.readStream.schema(
+                "url_canon string, host string, src_tag string, "
+                "src_attr string, is_requisite boolean, via_url string"
+            )
+            .parquet(cand_dir)
+            .select(
+                "url_canon",
+                F.abs(F.xxhash64("url_canon", "via_url")).alias("fetch_seq"),
+            )
+        )
+        dedup.run_dedup(cands, dedup_dir, ck["d"], n_groups=8)
+        fresh = (
+            spark.readStream.schema(
+                "url_canon string, fetch_seq bigint, is_first boolean"
+            )
+            .parquet(dedup_dir)
+            .filter("is_first")
+            .select(
+                F.expr("parse_url(url_canon, 'HOST')").alias("host"),
+                F.col("url_canon").alias("url"),
+                "fetch_seq",
+            )
+        )
+        politeness.run_admission(
+            fresh, budget=40, out_dir=admit_dir, checkpoint_dir=ck["p"]
+        )
+
+    land(rows[:80])
+    drain_all()
+    adm1 = spark.read.parquet(admit_dir).collect()
+    urls1 = {r["url"] for r in adm1}
+    assert adm1 and all(r["host"] for r in adm1)
+
+    # overlapping re-landing: pages 40..120 (links of 40..80 are dups)
+    land(rows[40:120])
+    drain_all()
+    rows2 = spark.read.parquet(admit_dir).collect()
+    new = [r for r in rows2 if r["url"] not in urls1]
+    # dedup refused every link already emitted in stage 1: admitted
+    # urls stay unique across the whole stream
+    all_urls = [r["url"] for r in rows2 if r["admitted"]]
+    assert len(all_urls) == len(set(all_urls))
+    # per-host totals never exceed the budget across both drains
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in rows2 if r["admitted"])
+    assert max(per_host.values()) <= 40
+    assert new  # the fresh pages DID contribute new admissions

@@ -267,6 +267,45 @@ def ivf_centroids(dim: int, cells: int) -> np.ndarray:
     return rng.standard_normal((cells, dim)).astype(np.float64)
 
 
+def train_ivf_codebook(
+    df,
+    vec_col: str,
+    cells: int = 16,
+    max_iter: int = 20,
+    seed: int = SEED + 1,
+    sample_fraction: float | None = None,
+):
+    """Train the IVF coarse quantizer with DISTRIBUTED k-means
+    (pyspark.ml.clustering.KMeans — Lloyd iterations as Spark jobs,
+    k-means|| init; the idiomatic scale path the frozen seeded codebook
+    stands in for). Returns a (cells, dim) float64 ndarray that every
+    ivf_* function below accepts via ``codebook=``.
+
+    Operational contract at scale: train ONCE (optionally on a
+    ``sample_fraction`` of the corpus — k-means quality needs only a
+    sample), persist the returned array next to the index, and treat it
+    as configuration. k-means|| inits from per-partition seeded draws,
+    so the result is deterministic for a fixed (data, partitioning,
+    seed) triple but NOT across different partitionings — which is why
+    the codebook is an artifact, not something re-derived per query
+    (same reasoning as the frozen codebook's determinism note)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    if sample_fraction is not None:
+        data = data.sample(sample_fraction, seed=seed)
+    model = KMeans(
+        k=cells, maxIter=max_iter, seed=seed, initMode="k-means||"
+    ).fit(data)
+    # clusterCenters() returns numpy arrays in pyspark 4
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
 def _centroid_norms(C: np.ndarray) -> list[float]:
     """||c||^2 per centroid via the same sequential left fold every
     engine uses (bit-equal constants embedded as literals)."""
@@ -279,13 +318,13 @@ def _centroid_norms(C: np.ndarray) -> list[float]:
     return out
 
 
-def ivf_cell_expr(vec_col: str, dim: int, cells: int = 16):
+def ivf_cell_expr(vec_col: str, dim: int, cells: int = 16, codebook=None):
     """1-based nearest-centroid cell id as a native Column: argmin over
     ``-2*dot(v,c) + ||c||^2`` (the ||v||^2 term is constant per row).
     Sequential folds keep every distance bit-equal to the DuckDB twin;
     first-minimum wins ties in both engines (array_position /
     list_position)."""
-    C = ivf_centroids(dim, cells)
+    C = ivf_centroids(dim, cells) if codebook is None else codebook
     norms = _centroid_norms(C)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scores = []
@@ -301,19 +340,24 @@ def ivf_cell_expr(vec_col: str, dim: int, cells: int = 16):
     return F.array_position(arr, F.array_min(arr)).cast("int")
 
 
-def with_ivf_cell(df: DataFrame, vec_col: str, dim: int, cells: int = 16) -> DataFrame:
+def with_ivf_cell(
+    df: DataFrame, vec_col: str, dim: int, cells: int = 16, codebook=None
+) -> DataFrame:
     """Assign every vector its inverted-list cell. At 100 TB the cell id
     is a partition key: a probe reads only nprobe of `cells` partitions
     (storage-level pruning), exactly like the LSH bucket column."""
-    return df.withColumn("cell", ivf_cell_expr(vec_col, dim, cells))
+    return df.withColumn(
+        "cell", ivf_cell_expr(vec_col, dim, cells, codebook=codebook)
+    )
 
 
 def query_cells(
-    query: list[float], dim: int, cells: int = 16, nprobe: int = 4
+    query: list[float], dim: int, cells: int = 16, nprobe: int = 4,
+    codebook=None,
 ) -> list[int]:
     """The nprobe nearest cells for a query (same fold arithmetic as
     ivf_cell_expr, evaluated in plain Python — engine-agnostic)."""
-    C = ivf_centroids(dim, cells)
+    C = ivf_centroids(dim, cells) if codebook is None else codebook
     norms = _centroid_norms(C)
     dists = []
     for c in range(cells):
@@ -334,10 +378,11 @@ def ivf_topk(
     cells: int = 16,
     nprobe: int = 4,
     k: int = 10,
+    codebook=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: exact cosine only inside the nprobe
     probed cells. ``cell IN (...)`` is a pushable partition-prune
     predicate, the same scale shape as ann_topk_lsh."""
-    probe = query_cells(query, dim, cells, nprobe)
+    probe = query_cells(query, dim, cells, nprobe, codebook=codebook)
     cand = celled.filter(F.col("cell").isin(probe))
     return brute_force_topk(cand, id_col, vec_col, query, k)
