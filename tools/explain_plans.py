@@ -151,6 +151,8 @@ def main() -> int:
         "q29_cosine_near_dup",
         "q24_minhash_lsh_pairs",
         "q33_top_terms_per_lang",
+        "q36_repetition_quality",
+        "q37_decontaminate_ngrams",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))

@@ -1350,6 +1350,72 @@ GROUP BY g.doc_id, g.lang
 
 
 
+def q38_packing_estimate(spark, sf):
+    """Context-window packing estimator for training-run sizing: per
+    (lang, split) — reusing q32's deterministic char-hash split so the
+    numbers line up with the actual train/val/test materialization —
+    total tokens, documents, per-doc windows at C=256 tokens (sized to the synthetic docs)
+    (sum of ceil(tokens/C): the no-cross-doc-packing upper bound) and
+    the ideal lower bound ceil(total_tokens/C) (perfect concatenated
+    packing). The spread between the two bounds IS the padding cost a
+    packing strategy must close; both are exact integers, one narrow
+    hash agg over per-doc token counts — the same shape at 100 TB."""
+    from .operators.dedup import char_hash_sql
+
+    C = 256
+    d = T(spark, sf, "documents").select(
+        "lang",
+        F.size(F.split(F.trim("text"), _P.TOKEN_SPLIT))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.expr(f"{char_hash_sql('CAST(doc_id AS STRING)')} % 100").alias(
+            "bucket"
+        ),
+    )
+    split = (
+        F.when(F.col("bucket") < 90, F.lit("train"))
+        .when(F.col("bucket") < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = d.withColumn("split", split)
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.ceil(F.col("n_tokens") / C))
+        .cast("bigint")
+        .alias("windows_per_doc_bound"),
+        F.ceil(F.sum("n_tokens") / C).cast("bigint").alias("windows_ideal"),
+    )
+
+
+def _q38_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text, ' '),
+                                     '[ \t\n\x0B\f\r]+')) AS BIGINT)
+           AS n_tokens,
+         CASE
+           WHEN {duck_char_hash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+             THEN 'train'
+           WHEN {duck_char_hash("CAST(doc_id AS VARCHAR)")} % 100 < 95
+             THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(ceil(n_tokens / 256.0) AS BIGINT)) AS BIGINT)
+         AS windows_per_doc_bound,
+       CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS windows_ideal
+FROM d GROUP BY lang, split
+"""
+
+
+Q38_SQL = _q38_sql()
+
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1388,6 +1454,7 @@ QUERIES = {
     "q35_length_percentiles": (q35_length_percentiles, Q35_SQL),
     "q36_repetition_quality": (q36_repetition_quality, Q36_SQL),
     "q37_decontaminate_ngrams": (q37_decontaminate_ngrams, Q37_SQL),
+    "q38_packing_estimate": (q38_packing_estimate, Q38_SQL),
 }
 
 

@@ -264,7 +264,9 @@ class RoundPlanner:
         # included) reshuffles every round and dominates the round wall.
         # At the 10^10 design point the same effect comes from Iceberg
         # bucket(url) storage-partitioned joins instead of a broadcast
-        # (batch keys stay ≤ hosts x budget, so both paths stay small).
+        # (batch keys stay ≤ hosts x budget, so both paths stay small);
+        # sources/bucketed.py demonstrates that plan on Hive bucketing —
+        # ZERO Exchange on either side, html never shuffled (PLANS.md).
         batch_keys = F.broadcast(batch.select(F.col("url_canon").alias("p_url")))
         # SHUFFLE_HASH: hash the (semi-join-filtered, ≈batch-sized) pages
         # side instead of sort-merge — sorting rows that carry html bytes
