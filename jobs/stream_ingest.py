@@ -1,0 +1,158 @@
+"""Incremental continuous-ingest CLI: the streaming tier in front of
+the batch crawl (SURVEY §2.10).
+
+    python jobs/stream_ingest.py --landing /data/pages_landing \
+        --work /data/ingest_work [--budget 100] [--n-groups 64]
+
+Each invocation drains everything newly landed through three
+checkpointed availableNow stages and stops — the cron-style
+incremental-ingest shape (re-run any time; every stage resumes its own
+state exactly):
+
+    1. link extraction  (ingest.link_extraction_stream — the same
+       byte-identical parse UDF as the batch engine)
+    2. exact cross-batch URL dedup (streaming/dedup.py — keyed
+       applyInPandasWithState, first occurrence wins forever)
+    3. per-host politeness admission (streaming/politeness.py —
+       budget rides inside the checkpointed state; a different
+       --budget against an existing work dir fails loudly)
+
+Prints ONE JSON line: cumulative candidate/fresh/admitted counts plus
+this run's deltas. ``--profile sf-unit --land-slice A:B`` appends a
+slice of the deterministic synthetic web to the landing dir first
+(demo/testing; production points --landing at the real feed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PAGES_SCHEMA = (
+    "url string, warc_ts long, html binary, text string, lang string"
+)
+CAND_SCHEMA = (
+    "url_canon string, host string, src_tag string, src_attr string, "
+    "is_requisite boolean, via_url string"
+)
+DEDUP_SCHEMA = "url_canon string, fetch_seq bigint, is_first boolean"
+
+
+def _count(spark, path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    return spark.read.parquet(path).count()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--landing", required=True, help="pages landing dir (parquet)")
+    ap.add_argument(
+        "--work", required=True,
+        help="work root: candidates/, fresh/, admitted/ + checkpoints land here",
+    )
+    ap.add_argument("--budget", type=int, default=100, help="per-host lifetime budget")
+    ap.add_argument("--n-groups", type=int, default=64, help="dedup state shards")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--profile", default=None, help="synthetic web profile (demo)")
+    ap.add_argument(
+        "--land-slice", default=None,
+        help="A:B page slice of --profile to append to --landing first",
+    )
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from track0_spark.session import build_spark
+    from track0_spark.streaming import dedup, ingest, politeness
+
+    spark = build_spark(cores=args.cores, app_name="stream-ingest")
+    try:
+        if args.land_slice:
+            from datagen import webgen
+
+            profiles = {"sf-unit": webgen.SF_UNIT, "sf-correct": webgen.SF_CORRECT}
+            rows = webgen.gen_pages(profiles[args.profile or "sf-unit"])
+            a, b = (int(x) for x in args.land_slice.split(":"))
+            spark.createDataFrame(
+                [
+                    (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+                    for r in rows[a:b]
+                ],
+                PAGES_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(args.landing)
+
+        w = args.work
+        dirs = {n: os.path.join(w, n) for n in ("candidates", "fresh", "admitted")}
+        cks = {n: os.path.join(w, f"ck_{n}") for n in dirs}
+        def counts():
+            c = {n: _count(spark, d) for n, d in dirs.items()}
+            c["fresh_first"] = (
+                spark.read.parquet(dirs["fresh"]).filter("is_first").count()
+                if os.path.exists(dirs["fresh"])
+                else 0
+            )
+            return c
+
+        before = counts()
+
+        pages = spark.readStream.schema(PAGES_SCHEMA).parquet(args.landing)
+        ingest.run_available_now(
+            ingest.link_extraction_stream(pages),
+            dirs["candidates"],
+            cks["candidates"],
+        )
+
+        cands = (
+            spark.readStream.schema(CAND_SCHEMA)
+            .parquet(dirs["candidates"])
+            .select(
+                "url_canon",
+                F.abs(F.xxhash64("url_canon", "via_url")).alias("fetch_seq"),
+            )
+        )
+        dedup.run_dedup(
+            cands, dirs["fresh"], cks["fresh"], n_groups=args.n_groups
+        )
+
+        fresh = (
+            spark.readStream.schema(DEDUP_SCHEMA)
+            .parquet(dirs["fresh"])
+            .filter("is_first")
+            .select(
+                F.expr("parse_url(url_canon, 'HOST')").alias("host"),
+                F.col("url_canon").alias("url"),
+                "fetch_seq",
+            )
+        )
+        politeness.run_admission(
+            fresh, budget=args.budget,
+            out_dir=dirs["admitted"], checkpoint_dir=cks["admitted"],
+        )
+
+        after = counts()
+        admitted_true = (
+            spark.read.parquet(dirs["admitted"]).filter("admitted").count()
+            if os.path.exists(dirs["admitted"])
+            else 0
+        )
+        print(
+            json.dumps(
+                {
+                    "counts": after,
+                    "delta": {n: after[n] - before[n] for n in after},
+                    "admitted_true": admitted_true,
+                }
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -318,3 +318,53 @@ def test_streaming_pipeline_composed(spark, tmp_path):
     per_host = Counter(r["host"] for r in rows2 if r["admitted"])
     assert max(per_host.values()) <= 40
     assert new  # the fresh pages DID contribute new admissions
+
+
+def test_stream_ingest_cli(tmp_path):
+    """jobs/stream_ingest.py: two cron-style invocations over
+    overlapping landings — the second run's dedup state refuses every
+    already-seen link, admitted urls stay unique, per-host totals obey
+    the budget, and a different --budget against the same work dir
+    fails loudly (the politeness state contract). Subprocess-driven
+    (the CLI owns its SparkSession)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    landing = str(tmp_path / "landing")
+    work = str(tmp_path / "work")
+
+    def run(extra, expect_ok=True):
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "jobs", "stream_ingest.py"),
+                "--landing", landing, "--work", work, "--cores", "4",
+                "--profile", "sf-unit", *extra,
+            ],
+            capture_output=True, text=True, cwd=repo, timeout=600,
+        )
+        if expect_ok:
+            assert proc.returncode == 0, proc.stdout + proc.stderr
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        assert proc.returncode != 0
+        return proc.stderr
+
+    out1 = run(["--land-slice", "0:80", "--budget", "40"])
+    assert out1["delta"]["candidates"] > 0
+    # every first-occurrence link reached the admission stage
+    assert out1["delta"]["admitted"] == out1["delta"]["fresh_first"]
+
+    out2 = run(["--land-slice", "40:120", "--budget", "40"])
+    # overlap refused: fewer first-occurrences than candidates landed
+    assert 0 < out2["delta"]["fresh_first"] < out2["delta"]["candidates"]
+    assert out2["delta"]["admitted"] == out2["delta"]["fresh_first"]
+
+    # changing the budget against the same checkpoints fails loudly
+    # (the state check fires when a batch actually processes rows, so
+    # land fresh pages to drive one through)
+    err = run(
+        ["--land-slice", "120:140", "--budget", "99"], expect_ok=False
+    )
+    assert "budget mismatch" in err
