@@ -123,6 +123,11 @@ def _materialize_files(
 
     handles: list = []
     mir = materialize_mirror(spark, saved_df, handles=handles)
+    # Resolve the mirror root ON THE DRIVER and capture only the absolute
+    # path in the closure (r3 ADVICE): executors re-resolving a relative
+    # --mirror-out against their own cwd would scatter files into
+    # executor-local dirs (or trip the escape check) on a real cluster.
+    out_dir = os.path.abspath(out_dir)
     root = os.path.realpath(out_dir)
 
     def write_rows(rows) -> int:

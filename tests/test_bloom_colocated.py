@@ -156,3 +156,90 @@ def test_colocated_bitmaps_bit_equal_driver_gate(spark, tmp_path):
     out = {r["url_canon"]: r["maybe_seen"]
            for r in gate.probe(cand, 1).collect()}
     assert all(out.values()) and len(out) == 7000
+
+
+def test_colocated_verdict_actually_gates_antijoin(
+    spark, web_rows, oracle_rows, tmp_path, monkeypatch
+):
+    """The r3 ADVICE bug: in colocated mode the round plan computed the
+    gate verdict but routed EVERY candidate through the exact anti-join
+    anyway, so gate-on == gate-off tests could never see it. Detector:
+    monkeypatch the gate with a LYING probe that marks every candidate
+    surely-new (maybe_seen=False). If the verdict is consulted, those
+    rows skip the anti-join and previously-seen URLs get RE-admitted —
+    the crawl_log must diverge from the oracle with duplicate url_canon
+    fetches. If the verdict is ignored (the bug), the anti-join saves
+    the day and the log stays oracle-exact, failing this test."""
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators import bloom_colocated as bc
+
+    def lying_make_probe(self, upto):
+        return lambda cand: cand.withColumn("maybe_seen", F.lit(False))
+
+    monkeypatch.setattr(bc.ColocatedBloomGate, "make_probe", lying_make_probe)
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(
+        spark, make_cfg(), pages, str(tmp_path / "lie"),
+        gate="bloom-colocated",
+    )
+    loop.run(max_rounds=4)
+    got = log_rows(loop)
+    dup_urls = len(got) - len({t[2] for t in got})
+    assert dup_urls > 0, (
+        "lying surely-new verdict produced zero re-admissions: the gate "
+        "verdict is not being consulted by the round plan (r3 ADVICE bug)"
+    )
+
+
+def test_colocated_partial_gate_compact_resumes(
+    spark, web_rows, oracle_rows, tmp_path
+):
+    """Kill window INSIDE the gate's compact (VERDICT r4 #7a): the
+    store's seen compact committed (COMPACT.json present) but the
+    bloom base dir is partial — _SUCCESS missing. _latest_compact must
+    ignore the torn base (falling back to the per-round deltas, which
+    compaction never deletes) and the resumed crawl must stay
+    oracle-exact. The torn dir must also never reach _read_bucket_bits
+    (which now raises loudly on _SUCCESS-less dirs)."""
+    pages = pages_from_rows(spark, web_rows)
+    root = str(tmp_path / "pc")
+    loop1 = CrawlLoop(
+        spark, make_cfg(), pages, root,
+        gate="bloom-colocated", compact_every=2,
+    )
+    loop1.run(max_rounds=5)
+    bases = glob.glob(os.path.join(root, "compact_*", "bloom", "_SUCCESS"))
+    assert bases, "precondition: a gate compact base was written"
+    for s in bases:
+        os.remove(s)  # simulate the kill mid-write of the bloom base
+    loop2 = CrawlLoop(
+        spark, make_cfg(), pages, root,
+        gate="bloom-colocated", compact_every=2,
+    )
+    loop2.run()
+    assert log_rows(loop2) == oracle_rows
+
+
+def test_colocated_delta_present_seen_torn_fails_loudly(
+    spark, web_rows, tmp_path
+):
+    """Symmetric torn case (VERDICT r4 #7b): the round's bloom_delta
+    committed but its seen_delta was lost. The gate is an ACCELERATOR
+    over the exact seen store — resuming must fail with the loud
+    torn-store error from load_seen, never silently continue on the
+    bloom's say-so (a bloom false positive would then silently DROP
+    frontier URLs with no exact set to rescue them)."""
+    pages = pages_from_rows(spark, web_rows)
+    root = str(tmp_path / "torn")
+    loop1 = CrawlLoop(spark, make_cfg(), pages, root, gate="bloom-colocated")
+    loop1.run(max_rounds=3)
+    victim = os.path.join(root, "round_00002", "seen_delta")
+    assert os.path.exists(victim)
+    assert os.path.exists(
+        os.path.join(root, "round_00002", "bloom_delta", "_SUCCESS")
+    )
+    shutil.rmtree(victim)
+    loop2 = CrawlLoop(spark, make_cfg(), pages, root, gate="bloom-colocated")
+    with pytest.raises(FileNotFoundError, match="torn"):
+        loop2.run()

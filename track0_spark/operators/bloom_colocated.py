@@ -71,6 +71,20 @@ def _read_bucket_bits(
 
     bits = np.zeros(bucket_bits // 8, dtype=np.uint8)
     for d in dirs:
+        # Loud torn-store check (r3 ADVICE): a dir handed to a probe or
+        # compact task that is missing or _SUCCESS-less means gate state
+        # was lost AFTER ensure() validated it — silently treating it as
+        # all-zero would manufacture bloom false negatives (re-admitting
+        # seen URLs), the one failure the gate contract forbids. Raise
+        # exactly like load_seen's torn-store error instead. A bucket
+        # with no file inside a complete dir is fine (no keys hashed
+        # there that round — partitionBy writes no empty partitions).
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            raise RuntimeError(
+                f"bloom gate dir torn or missing (no _SUCCESS): {d}; "
+                "state lost after ensure() — rebuild via ensure()/resume "
+                "instead of probing a hole"
+            )
         for f in _glob.glob(os.path.join(d, f"bucket={bucket}", "*.parquet")):
             col = pq.read_table(f, columns=["bits"])["bits"]
             for v in col.to_pylist():

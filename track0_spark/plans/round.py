@@ -364,7 +364,14 @@ class RoundPlanner:
         # partitioned by url_canon (dedup agg), and hashing the seen
         # side beats sorting both sides (SMJ) every round
         seen_keys = seen.select("url_canon").hint("SHUFFLE_HASH")
-        if bloom_bc is not None:
+        # The split applies whenever ANY gate produced a maybe_seen
+        # verdict: the broadcast bloom fuses it into the extract UDF
+        # (bloom_bc), the co-located gate writes it via gate_probe. The
+        # r3 ADVICE bug was testing only bloom_bc here, which sent every
+        # candidate through the exact anti-join in colocated mode and
+        # silently discarded the gate's verdict (correct output, pure
+        # wasted probe cost).
+        if bloom_bc is not None or gate_probe is not None:
             surely_new = cand.filter(~F.col("maybe_seen"))
             maybe = cand.filter(F.col("maybe_seen")).join(
                 seen_keys, "url_canon", "left_anti"

@@ -43,6 +43,14 @@ OUTPUT_SCHEMA = (
 # (lowering it retroactively blocks nothing already admitted; raising
 # it re-admits hosts mid-stream). Baking it in turns that silent
 # reinterpretation into a loud per-host error on the first batch.
+#
+# COMPATIBILITY (r3 ADVICE): checkpoints written before the budget
+# column existed (state = `total bigint` only) cannot resume against
+# this schema — Spark's state-store schema checker rejects the widened
+# struct JVM-side before this operator runs. Such checkpoints must be
+# discarded (start a fresh checkpoint dir). As belt-and-braces for any
+# engine that DOES hand legacy 1-field state through, _admit_fn treats
+# a missing budget field as "built with the current budget".
 STATE_SCHEMA = "total bigint, budget bigint"
 
 
@@ -52,7 +60,11 @@ def _admit_fn(budget: int):
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         if state.exists:
-            total, prev_budget = state.get
+            got = state.get
+            # legacy 1-field state (pre-budget checkpoints): treat the
+            # missing budget as the current one — see STATE_SCHEMA note
+            total = got[0]
+            prev_budget = got[1] if len(got) > 1 else budget
             if prev_budget != budget:
                 raise ValueError(
                     f"politeness budget mismatch for host {host!r}: "
