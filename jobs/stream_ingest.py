@@ -37,7 +37,8 @@ PAGES_SCHEMA = (
 )
 CAND_SCHEMA = (
     "url_canon string, host string, src_tag string, src_attr string, "
-    "is_requisite boolean, via_url string"
+    "is_requisite boolean, via_url string, parent_seq bigint, "
+    "link_idx int"
 )
 DEDUP_SCHEMA = "url_canon string, fetch_seq bigint, is_first boolean"
 
@@ -107,12 +108,21 @@ def main(argv=None) -> int:
             cks["candidates"],
         )
 
+        # TRUE arrival sequence (VERDICT r3 #4): the extraction stage
+        # stamps each candidate with its landing file's mtime
+        # (parent_seq) + document-order link index, packed here exactly
+        # like the batch engine's _ord — so "first occurrence wins"
+        # follows landing order, not the old abs(xxhash64(url,via))
+        # pseudo-order.
         cands = (
             spark.readStream.schema(CAND_SCHEMA)
             .parquet(dirs["candidates"])
             .select(
                 "url_canon",
-                F.abs(F.xxhash64("url_canon", "via_url")).alias("fetch_seq"),
+                (
+                    F.shiftleft(F.col("parent_seq"), 28)
+                    + F.col("link_idx")
+                ).alias("fetch_seq"),
             )
         )
         dedup.run_dedup(

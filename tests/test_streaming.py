@@ -368,3 +368,161 @@ def test_stream_ingest_cli(tmp_path):
         ["--land-slice", "120:140", "--budget", "99"], expect_ok=False
     )
     assert "budget mismatch" in err
+
+
+def test_dedup_state_writes_are_delta_not_full_rewrite(spark, tmp_path):
+    """VERDICT r3 #3: per-batch state I/O must be O(new keys), not
+    O(all seen keys). Drain batch 1 with K urls, then batch 2 that
+    REPEATS them all (the steady re-landing regime): the old design
+    re-serialized and rewrote every touched group's full seen set; the
+    chunked design skips state.update for no-new-key groups, so the
+    checkpoint's version-2 state delta files must be a tiny fraction
+    of version 1's."""
+    import glob as g
+
+    from track0_spark.streaming import dedup
+
+    landing = str(tmp_path / "cand")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "url_canon string, fetch_seq bigint"
+
+    K = 2000
+    b1 = [(f"http://h.test/p/{i}", i) for i in range(K)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    dedup.run_dedup(stream, out_dir=out, checkpoint_dir=ckpt, n_groups=8)
+
+    # batch 2: all K urls again, zero new keys anywhere
+    b2 = [(u, K + i) for i, (u, _) in enumerate(b1)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    dedup.run_dedup(stream, out_dir=out, checkpoint_dir=ckpt, n_groups=8)
+
+    def delta_bytes(version: int) -> int:
+        files = g.glob(
+            os.path.join(ckpt, "state", "**", f"{version}.delta"),
+            recursive=True,
+        )
+        assert files, f"no state delta files for version {version}"
+        return sum(os.path.getsize(f) for f in files)
+
+    v1, v2 = delta_bytes(1), delta_bytes(2)
+    assert v2 < max(v1 * 0.05, 2048), (
+        f"repeat-only batch wrote {v2} state bytes vs {v1} for the "
+        "initial batch: state is being fully rewritten per batch"
+    )
+    # and the verdicts are right: batch 2 admitted nothing
+    rows = spark.read.parquet(out).collect()
+    assert sum(r["is_first"] for r in rows) == K
+    assert not any(r["is_first"] for r in rows if r["fetch_seq"] >= K)
+
+
+def test_dedup_group_cap_fails_loudly(spark, tmp_path):
+    """max_keys_per_group is a loud tier boundary, not silent decay."""
+    import pytest
+
+    from track0_spark.streaming import dedup
+
+    landing = str(tmp_path / "cand")
+    schema = "url_canon string, fetch_seq bigint"
+    rows = [(f"http://h.test/p/{i}", i) for i in range(50)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    with pytest.raises(Exception, match="max_keys_per_group"):
+        dedup.run_dedup(
+            stream, out_dir=str(tmp_path / "o"),
+            checkpoint_dir=str(tmp_path / "k"),
+            n_groups=2, max_keys_per_group=10,
+        )
+
+
+def test_arrival_seq_first_occurrence_follows_landing_order(spark, tmp_path):
+    """VERDICT r3 #4 done-criterion: two OVERLAPPING landings drained
+    in one pass; every duplicated url's is_first verdict must go to
+    the candidate from the EARLIER landing wave (fetch_seq packs the
+    landing file's mtime, so wave order is visible as seq >> 28)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datagen import webgen
+    from track0_spark.streaming import dedup, ingest
+
+    rows = webgen.gen_pages(webgen.SF_UNIT)
+    landing = str(tmp_path / "pages")
+    cand_dir = str(tmp_path / "cands")
+    fresh_dir = str(tmp_path / "fresh")
+    ck_x, ck_d = str(tmp_path / "ckx"), str(tmp_path / "ckd")
+    schema = (
+        "url string, warc_ts long, html binary, text string, lang string"
+    )
+
+    def land(page_rows, mtime):
+        import glob as g
+
+        before = set(g.glob(os.path.join(landing, "*.parquet")))
+        spark.createDataFrame(
+            [
+                (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+                for r in page_rows
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(landing)
+        for f in set(g.glob(os.path.join(landing, "*.parquet"))) - before:
+            os.utime(f, (mtime, mtime))
+
+    # wave A then wave B, 60s apart in mtime, OVERLAPPING pages — the
+    # shared pages' links are duplicated across waves
+    t0 = int(time.time()) - 3600
+    land(rows[:80], t0)
+    land(rows[40:120], t0 + 60)
+
+    pages = spark.readStream.schema(schema).parquet(landing)
+    ingest.run_available_now(
+        ingest.link_extraction_stream(pages), cand_dir, ck_x
+    )
+    cands = (
+        spark.readStream.schema(
+            "url_canon string, parent_seq bigint, link_idx int"
+        )
+        .parquet(cand_dir)
+        .select(
+            "url_canon",
+            (F.shiftleft("parent_seq", 28) + F.col("link_idx")).alias(
+                "fetch_seq"
+            ),
+        )
+    )
+    dedup.run_dedup(cands, fresh_dir, ck_d, n_groups=8)
+
+    all_cands = spark.read.parquet(cand_dir).collect()
+    seqs: dict[str, list[int]] = {}
+    for r in all_cands:
+        seqs.setdefault(r["url_canon"], []).append(
+            (r["parent_seq"] << 28) + r["link_idx"]
+        )
+    winners = {
+        r["url_canon"]: r["fetch_seq"]
+        for r in spark.read.parquet(fresh_dir).collect()
+        if r["is_first"]
+    }
+    # every winner is its url's MINIMUM arrival ordinal
+    assert winners
+    for u, seq in winners.items():
+        assert seq == min(seqs[u]), u
+    # and the cross-wave case was actually exercised: some urls have
+    # candidates in BOTH waves, and their winner came from wave A
+    wave_a = t0 - ingest.LANDING_EPOCH_S
+    crossers = [
+        u for u, ss in seqs.items() if len({s >> 28 for s in ss}) == 2
+    ]
+    assert crossers, "fixture produced no cross-wave duplicate urls"
+    for u in crossers:
+        assert winners[u] >> 28 == wave_a, u
