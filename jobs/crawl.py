@@ -177,12 +177,13 @@ def main(argv=None) -> int:
     ap.add_argument("--no-bloom", action="store_true", help="disable the bloom seen-gate")
     ap.add_argument(
         "--gate",
-        choices=["bloom", "cuckoo", "bloom-colocated"],
+        choices=["bloom", "cuckoo", "bloom-colocated", "cuckoo-colocated"],
         default="bloom",
         help="approximate seen-gate structure: bloom (driver-held, "
         "fastest at local scale), cuckoo (deletable), bloom-colocated "
         "(bucket-partitioned storage gate, no whole-structure "
-        "broadcast — the 100 TB shape)",
+        "broadcast — the 100 TB shape), cuckoo-colocated (same "
+        "storage shape, deletable)",
     )
     ap.add_argument(
         "--compact-every",

@@ -69,7 +69,9 @@ class CrawlLoop:
         #: distributed) or "cuckoo" (deletable; operators/cuckoo.py).
         #: Both preserve exactness by construction; the probe interface
         #: is identical so the round plan never knows which it got.
-        assert gate in ("bloom", "cuckoo", "bloom-colocated")
+        assert gate in (
+            "bloom", "cuckoo", "bloom-colocated", "cuckoo-colocated"
+        )
         self.gate_kind = gate
         #: compact the fragmented seen deltas every K committed rounds
         #: (0 = off). Pure optimization: load_seen output is identical
@@ -90,10 +92,17 @@ class CrawlLoop:
         semantics — no false negatives — is not; tests assert the crawl
         output is invariant)."""
         seen = self.store.load_seen(upto_round).select("url_h64")
-        if self.gate_kind == "bloom-colocated":
-            from ..operators.bloom_colocated import ColocatedBloomGate
+        if self.gate_kind in ("bloom-colocated", "cuckoo-colocated"):
+            if self.gate_kind == "cuckoo-colocated":
+                from ..operators.cuckoo_colocated import (
+                    ColocatedCuckooGate as _GateCls,
+                )
+            else:
+                from ..operators.bloom_colocated import (
+                    ColocatedBloomGate as _GateCls,
+                )
 
-            gate = ColocatedBloomGate(
+            gate = _GateCls(
                 self.spark,
                 self.store.root,
                 expected_keys=self.bloom_expected_keys,
@@ -139,7 +148,9 @@ class CrawlLoop:
             )
             latest = 0
         summary = CrawlSummary()
-        colocated = self.use_bloom and self.gate_kind == "bloom-colocated"
+        colocated = self.use_bloom and self.gate_kind in (
+            "bloom-colocated", "cuckoo-colocated"
+        )
         bloom = self._build_bloom(latest) if self.use_bloom else None
         r = latest
         while r < limit:
@@ -188,7 +199,16 @@ class CrawlLoop:
             if self.compact_every and (r + 1) % self.compact_every == 0:
                 man2["compact"] = self.store.compact_seen(r + 1)
                 if colocated:
-                    man2["compact"]["bloom"] = bloom.compact(r + 1)
+                    if self.gate_kind == "cuckoo-colocated":
+                        # fingerprint tables can't be merged key-free:
+                        # the cuckoo compact rebuilds from the exact
+                        # seen keys (one pass the seen compaction just
+                        # made anyway)
+                        man2["compact"]["gate"] = bloom.compact(
+                            r + 1, self.store.load_seen(r + 1)
+                        )
+                    else:
+                        man2["compact"]["bloom"] = bloom.compact(r + 1)
             man2["round_wall_s"] = round(time.time() - rt0, 3)
             summary.round_metrics.append(man2)
             summary.fetched += man2["counts"]["crawl_log"]
