@@ -27,7 +27,20 @@ from .functions.rules_compile import compile_rules
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan with a parallelism FLOOR (VERDICT r3 #5 root cause): the
+    small single-file test tables arrive as ONE split, which serializes
+    every pre-shuffle stage — minhash signatures, gram explodes,
+    hyperplane sketches — on a single core (measured: q37's gram
+    explode alone was 3.7s single-split vs 0.9s spread; q29's r3
+    "drift" was this, not the plan). The floor round-robins the raw
+    rows only when the scan yields fewer splits than cores; at 100 TB
+    the scan itself has thousands of splits and the condition never
+    fires, so no exchange is added where it would actually cost."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -1300,33 +1313,44 @@ def q37_decontaminate_ngrams(spark, sf):
     recipe): docs with doc_id % 97 == 0 stand in for the held-out eval
     set; a corpus doc is contaminated if it shares ANY full 3-gram with
     a benchmark doc (3 here so the synthetic word-salad corpus yields
-    hits; production uses 8-13-grams — same plan). Shape: explode
-    corpus grams, semi-bucket against the DISTINCT benchmark gram set,
-    count distinct shared grams per doc. The gram join key stays the
-    string at test scale so DuckDB and Spark agree byte-for-byte;
-    production hashes grams to 64-bit before the join (smaller shuffle,
-    same contract)."""
+    hits; production uses 8-13-grams — same plan).
+
+    Default shape (VERDICT r3 #5, q37 was the most expensive query):
+    grams are HASHED to int64 (xxhash64) inside the gram-array
+    transform, so the explode, the benchmark distinct and the join all
+    carry 8-byte keys instead of multi-word strings, and the DISTINCT
+    benchmark gram set — a fixed eval suite, small by construction —
+    is BROADCAST, so the exploded corpus is never shuffled at all:
+    the only exchange left is the final per-doc hash agg over matched
+    rows. n_shared_grams = countDistinct(hash) equals
+    countDistinct(gram) absent 64-bit collisions (~1e-7 odds at this
+    scale), so the string-keyed DuckDB oracle stays the hash-checked
+    twin. Set TRACK0S_Q37_EXACT=1 for the original string-keyed join
+    (byte-exact keys, wide shuffle) — the verification twin."""
+    import os as _os
+
+    hashed = _os.environ.get("TRACK0S_Q37_EXACT", "") != "1"
     d = T(spark, sf, "documents").select("doc_id", "lang", "text")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
+
+    def gram_at(i):
+        s = F.concat_ws(
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+        )
+        return F.xxhash64(s) if hashed else s
+
+    empty_t = "array<bigint>" if hashed else "array<string>"
     grams = F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.get(toks, i),
-                F.get(toks, i + 1),
-                F.get(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select(
-        "doc_id", "lang", F.explode(grams).alias("gram")
-    )
+        F.transform(F.sequence(F.lit(0), n - 3), gram_at),
+    ).otherwise(F.array().cast(empty_t))
+    g = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
     bench = (
         g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     )
+    if hashed:
+        bench = F.broadcast(bench)
     return (
         g.filter(F.col("doc_id") % 97 != 0)
         .join(bench, "gram")
