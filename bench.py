@@ -68,7 +68,57 @@ def read_steal() -> tuple[int, int]:
         return (0, 0)
 
 
-def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int):
+#: pages-table DDL for registering an existing bucketed parquet dir in
+#: a fresh session's catalog (schema must match schemas.PAGES exactly)
+_PAGES_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+
+
+def ensure_bucketed_pages(pages_path: str, n_buckets: int) -> str:
+    """Write-once cache of the bench web as a Hive-BUCKETED parquet
+    table (bucketBy(url)) next to the plain one — the at-scale fetch
+    join's storage layout (sources/bucketed.py). Returns the data dir;
+    sessions re-register it with CREATE TABLE ... CLUSTERED BY ...
+    LOCATION (metadata only, no rewrite)."""
+    import glob as _g
+
+    # ABSOLUTE path is load-bearing: a relative .option("path") in
+    # saveAsTable resolves against the session's warehouse dir, landing
+    # the data somewhere the later CREATE TABLE ... LOCATION never
+    # looks (bit us: the registered table read 0 rows and the crawl
+    # "finished" in one all-404 round). Cache presence is checked by
+    # data files — Hive bucketed writes emit no _SUCCESS marker.
+    bpath = os.path.abspath(pages_path.rstrip("/") + f".bucketed{n_buckets}")
+    if not _g.glob(os.path.join(bpath, "*.parquet")):
+        from track0_spark.session import build_spark
+        from track0_spark.sources.bucketed import write_bucketed
+
+        spark = build_spark(
+            cores=8, app_name="bench-bucket-gen", driver_memory="24g"
+        )
+        try:
+            write_bucketed(
+                spark.read.parquet(pages_path),
+                "bench_pages_bucketed_gen",
+                bpath,
+                "url",
+                n_buckets,
+            )
+            spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed_gen")
+        finally:
+            spark.stop()
+    if not _g.glob(os.path.join(bpath, "*.parquet")):
+        raise RuntimeError(f"bucketed pages write produced no files at {bpath}")
+    return bpath
+
+
+def run_crawl(
+    cores: int,
+    pages_path: str,
+    profile: webgen.WebProfile,
+    salt: int,
+    gate: str = "bloom",
+    bucketed_pages_path: str | None = None,
+):
     from track0_spark.session import build_crawl_spark
     from track0_spark.plans.loop import CrawlLoop
     from track0_spark.sources.pages import read_pages
@@ -78,16 +128,38 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
     )
     ckpt = tempfile.mkdtemp(prefix=f"bench-ckpt-{cores}-")
     try:
-        pages = read_pages(spark, pages_path)
+        if bucketed_pages_path:
+            # register the pre-written bucketed dir in this session's
+            # in-memory catalog: metadata-only DDL, scans report
+            # 'Bucketed: true' + HashPartitioning(url) straight from
+            # storage (the Iceberg bucket(url) analog, sources/bucketed.py)
+            nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            spark.sql("DROP TABLE IF EXISTS bench_pages_bucketed")
+            spark.sql(
+                f"CREATE TABLE bench_pages_bucketed ({_PAGES_DDL}) "
+                f"USING parquet CLUSTERED BY (url) INTO {nb} BUCKETS "
+                f"LOCATION '{os.path.abspath(bucketed_pages_path)}'"
+            )
+            pages = spark.table("bench_pages_bucketed")
+            # loud guard against a location/registration mismatch: an
+            # empty table silently yields an all-404 one-round "crawl"
+            if not pages.limit(1).count():
+                raise RuntimeError(
+                    f"bucketed pages table at {bucketed_pages_path} "
+                    "registered but reads 0 rows"
+                )
+        else:
+            pages = read_pages(spark, pages_path)
         # 1-round warm-up on a throwaway store: JIT + codegen + python
         # workers; the timed run then measures steady-state throughput
         warm_ckpt = tempfile.mkdtemp(prefix=f"bench-warm-{cores}-")
         CrawlLoop(
-            spark, bench_cfg(profile), pages, warm_ckpt, salt=salt
+            spark, bench_cfg(profile), pages, warm_ckpt, salt=salt, gate=gate
         ).run(max_rounds=1)
         shutil.rmtree(warm_ckpt, ignore_errors=True)
         loop = CrawlLoop(
-            spark, bench_cfg(profile), pages, ckpt, salt=salt, partition_metrics=False
+            spark, bench_cfg(profile), pages, ckpt, salt=salt,
+            partition_metrics=False, gate=gate,
         )
         st0, tt0 = read_steal()
         t0 = time.time()
@@ -106,6 +178,8 @@ def run_crawl(cores: int, pages_path: str, profile: webgen.WebProfile, salt: int
         sat = max(rounds, key=lambda r: r["fetched"]) if rounds else None
         return {
             "cores": cores,
+            "gate": gate,
+            "bucketed_pages": bool(bucketed_pages_path),
             "fetched": summary.fetched,
             "seen": summary.seen,
             "rounds": summary.rounds,
@@ -186,13 +260,22 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     spark = build_spark(cores=cores, app_name="bench-queries", driver_memory="24g")
     try:
         out = {}
+        cold = {}
+        # two runs per query, report the WARM one (min): the first run
+        # pays one-time codegen compilation + JVM JIT, which at these
+        # sub-5s query times is a 1.2-2x artifact that moves round to
+        # round and reads as phantom regressions (q29 in r3 printed
+        # +24% "drift" that was entirely cold-run noise — re-measured
+        # warm it matches r2 exactly). The cold runs ride along in
+        # `queries_cold` for transparency.
         for name, fn in contract.queries().items():
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            out[name] = round(time.time() - t0, 3)
-            _ = n
-        return out
+            fn(spark, sf_dir).count()
+            cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            out[name] = round(min(cold[name], time.time() - t0), 3)
+        return out, cold
     finally:
         spark.stop()
 
@@ -206,6 +289,9 @@ def write_baseline_md(
     eff_pairs: list[float] | None = None,
     eff_pairs_host: list | None = None,
     eff_pairs_net: list | None = None,
+    eff_headline: float | None = None,
+    qualification: dict | None = None,
+    atscale: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -266,6 +352,26 @@ def write_baseline_md(
                 f"efficiency NET of that ceiling: {net_s} — best "
                 f"**{best_net:.3f}** (1.0 = the engine scales exactly as well "
                 f"as the host allowed in that window)"
+            )
+        if qualification is not None:
+            qtxt = (
+                f"**{eff_headline:.3f}**"
+                if eff_headline is not None
+                else "no window qualified (host never scaled ≥ "
+                f"{qualification['control_min']} in any trial pair — the "
+                "criterion is unmeasurable in this run, not failed)"
+            )
+            lines.append(
+                f"- **HEADLINE (control-qualified)**: {qtxt} — protocol: "
+                f"{qualification['rule']}; "
+                f"{qualification['n_qualified']}/{len(qualification['pairs'])} "
+                f"pairs qualified this run (per-pair crawl/control "
+                f"efficiencies in BENCH json `headline_qualification`). "
+                f"Rationale: three same-code runs printed 0.87/0.70/0.87 "
+                f"whole-crawl across rounds 2-3 while the control kernel "
+                f"showed the HOST delivering 0.58-0.88 in the same windows "
+                f"— the raw number measures hypervisor weather; the "
+                f"qualified number measures the engine."
             )
         if eff_sat is not None:
             lines.append(
@@ -328,6 +434,38 @@ def write_baseline_md(
                 f"drops (typically beyond ~16 procs on this VM), so must any "
                 f"engine.",
             ]
+    if atscale:
+        d = atscale["delta_vs_default_pct"]
+        lines += [
+            "",
+            "### At-scale configuration (VERDICT r3 #2 — the bench under "
+            "the 10^10 deployment shape)",
+            "",
+            "Same bench crawl, peak level, with the storage-side stack the "
+            "100 TB deployment uses: `gate=bloom-colocated` (bucket-"
+            "partitioned bloom state read per-task from storage, zero "
+            "whole-structure broadcast) + pages as a Hive-BUCKETED table "
+            "(`bucketBy(url)` — the Iceberg `bucket(url)` analog; the "
+            "fetch join consumes the scan's hash partitioning).",
+            "",
+            "| config | cores | URLs/s | saturated URLs/s | wall s |",
+            "|---|---|---|---|---|",
+            f"| default (driver bloom + plain parquet) | {atscale['cores']} "
+            f"| {atscale['default_urls_per_sec']} | — | — |",
+            f"| at-scale (colocated bloom + bucketed pages) | "
+            f"{atscale['cores']} | {atscale['urls_per_sec']} | "
+            f"{atscale['saturated_urls_per_sec']} | {atscale['wall_s']} |",
+            "",
+            f"Delta vs default at the same level: **{d:+.1f}%**. The "
+            "storage gate pays per-round distributed bitmap maintenance "
+            "and a bucket-aligned probe job that the driver gate folds "
+            "into one broadcast — at 3M pages that overhead is visible; "
+            "at 10^10 keys the broadcast (~15 GB/round) is the thing "
+            "that cannot ship, and this config is the one that still "
+            "runs. The plan for this exact config (bucketed scan, "
+            "FlatMapGroupsInPandas gate verdict, no gate broadcast) is "
+            "in PLANS.md under 'at-scale bench config'.",
+        ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -430,13 +568,18 @@ def main() -> int:
     # yielding real CPU, see the control kernel + BENCH/BASELINE.md
     # roofline table) and the advertised-peak 32 run once for context.
     extras = [c for c in (16, peak) if c not in (lo, hi)]
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # ≥5 interleaved trials (VERDICT r3 #1): the headline is the best
+    # CONTROL-QUALIFIED matched pair, so enough windows must be sampled
+    # that at least one clean-host window is likely
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
     if quick:
         crawl_results = [run_crawl(peak, pages_path, profile, salt=0)]
     else:
         crawl_results = run_levels([lo, hi], extras, trials)
     eff = eff_sat = eff_pairs = None
     eff_pairs_host = eff_pairs_net = None
+    eff_headline = None
+    qualification = None
     if len(crawl_results) >= 2:
         r_lo, r_hi = crawl_results[0], crawl_results[1]
         ratio = r_hi["cores"] / r_lo["cores"]
@@ -473,14 +616,86 @@ def main() -> int:
             round(p / h, 3) if (p and h) else None
             for p, h in zip(eff_pairs, eff_pairs_host)
         ]
+        # HEADLINE protocol (VERDICT r3 #1): a matched (lo, hi) trial
+        # pair counts only if the host itself scaled in that window —
+        # its bracketed control-kernel pair efficiency >= CONTROL_MIN.
+        # The headline is the best qualified pair's crawl efficiency;
+        # windows where the control shows the hypervisor withheld CPU
+        # are discarded (they measure the weather, not the engine).
+        CONTROL_MIN = 0.75
+        pair_rows = [
+            {
+                "trial": i,
+                "crawl_eff": p,
+                "control_eff": h,
+                "qualified": bool(h is not None and h >= CONTROL_MIN),
+            }
+            for i, (p, h) in enumerate(zip(eff_pairs, eff_pairs_host))
+        ]
+        qual = [r["crawl_eff"] for r in pair_rows if r["qualified"]]
+        eff_headline = max(qual) if qual else None
+        qualification = {
+            "rule": (
+                "matched (lo,hi) trial pair qualifies iff its bracketed "
+                f"control-kernel pair efficiency >= {CONTROL_MIN}; "
+                "headline = best qualified pair's crawl efficiency"
+            ),
+            "control_min": CONTROL_MIN,
+            "trials": trials,
+            "pairs": pair_rows,
+            "n_qualified": len(qual),
+        }
     control = None if quick else control_kernel(pages_path, [lo, hi] + extras)
+
+    # At-scale configuration run (VERDICT r3 #2): the SAME bench crawl
+    # in the 10^10 deployment shape — bloom-colocated storage gate +
+    # Hive-bucketed pages table — once at the peak level, reported as a
+    # delta against the default-config peak run. Honest expectation:
+    # the storage gate pays per-round distributed maintenance that the
+    # driver gate amortizes into a broadcast, so it may be SLOWER at
+    # local scale; what it buys is the plan that has no whole-structure
+    # broadcast and no html shuffle to outgrow.
+    atscale = None
+    if not quick and os.environ.get("SPARK_GRAFT_BENCH_ATSCALE", "1") == "1":
+        bpath = ensure_bucketed_pages(pages_path, max(peak, 8))
+        r_at = run_crawl(
+            peak, pages_path, profile, salt=0,
+            gate="bloom-colocated", bucketed_pages_path=bpath,
+        )
+        default_peak = max(
+            (r for r in crawl_results if r["cores"] == peak),
+            key=lambda r: r["urls_per_sec"],
+            default=None,
+        )
+        atscale = {
+            "gate": "bloom-colocated",
+            "pages": "hive-bucketed (bucketBy(url))",
+            "cores": peak,
+            "urls_per_sec": r_at["urls_per_sec"],
+            "saturated_urls_per_sec": r_at["saturated_urls_per_sec"],
+            "wall_s": r_at["wall_s"],
+            "default_urls_per_sec": (
+                default_peak["urls_per_sec"] if default_peak else None
+            ),
+            "delta_vs_default_pct": (
+                round(
+                    100.0
+                    * (r_at["urls_per_sec"] / default_peak["urls_per_sec"] - 1),
+                    1,
+                )
+                if default_peak
+                else None
+            ),
+        }
     if not quick:  # quick mode must not clobber the real baseline doc
         write_baseline_md(
             crawl_results, eff, eff_sat, profile, control, eff_pairs,
             eff_pairs_host, eff_pairs_net,
+            eff_headline=eff_headline, qualification=qualification,
+            atscale=atscale,
         )
 
-    queries = run_queries(sf_dir, peak)
+    queries, queries_cold = run_queries(sf_dir, peak)
 
     peak_level = max(crawl_results, key=lambda r: r["urls_per_sec"])
     result = {
@@ -489,16 +704,20 @@ def main() -> int:
         "value_cores": peak_level["cores"],
         "unit": "sec",
         "queries": queries,
+        "queries_cold": queries_cold,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
         "crawl": {
             "levels": crawl_results,
             "scaling_efficiency": eff,
+            "scaling_efficiency_headline": eff_headline,
+            "headline_qualification": qualification,
             "scaling_efficiency_saturated": eff_sat,
             "scaling_efficiency_matched_pairs": eff_pairs,
             "matched_pairs_host_ceiling": eff_pairs_host,
             "matched_pairs_net_of_host": eff_pairs_net,
             "efficiency_pair": [lo, hi],
             "control_kernel": control,
+            "atscale_config": atscale,
             "pages": profile.pages,
             "hosts": profile.hosts,
         },

@@ -86,6 +86,44 @@ def main() -> int:
         for df in res_co.persisted:
             df.unpersist()
 
+    # AT-SCALE BENCH CONFIG (VERDICT r3 #2 done-criterion): the round
+    # plan exactly as bench.py's atscale run builds it — pages from a
+    # Hive-BUCKETED table ('Bucketed: true' scan) AND the co-located
+    # bloom gate (bucket-grouped FlatMapGroupsInPandas verdict). One
+    # plan showing both 10^10 storage properties together: no gate
+    # broadcast, fetch side served from bucketed storage.
+    from track0_spark.sources.bucketed import write_bucketed
+
+    with tempfile.TemporaryDirectory() as atdir:
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            pages, "plans_pages_bucketed", f"{atdir}/pages", "url", nb
+        )
+        pages_b = spark.table("plans_pages_bucketed")
+        pl_at = RoundPlanner(spark, bench_cfg(webgen.SF_UNIT), pages_b)
+        os.makedirs(os.path.join(atdir, "round_00000"))
+        gate_at = ColocatedBloomGate(
+            spark, atdir, expected_keys=100_000
+        )
+        gate_at.write_delta(0, pl_at.seed_seen().select("url_h64"))
+        res_at = pl_at.run_round(
+            0, pl_at.seed_frontier(), pl_at.seed_seen(),
+            gate_probe=gate_at.make_probe(0),
+        )
+        sections.append(
+            (
+                "AT-SCALE bench config round: frontier' (bucketed pages "
+                "table + co-located bloom gate — the exact configuration "
+                "bench.py's atscale_config measures; check: 'Bucketed: "
+                "true' on the pages scan, FlatMapGroupsInPandas gate "
+                "verdict, zero gate broadcast)",
+                grab(res_at.frontier_next),
+            )
+        )
+        for df in res_at.persisted:
+            df.unpersist()
+        spark.sql("DROP TABLE plans_pages_bucketed")
+
     # Bucketed-storage joins (sources/bucketed.py, VERDICT r2 #4): the
     # Hive-bucketing demonstration of the Iceberg bucket(url) production
     # notes — seen anti-join with the bucketed side Exchange-free, fetch
