@@ -219,6 +219,21 @@ def main(argv=None) -> int:
         "last-modified MERGE, one row per url) and atomically replace it",
     )
     ap.add_argument(
+        "--forget",
+        default=None,
+        metavar="RULESPEC",
+        help="selective seen-set FORGET mode (no crawl): remove every "
+        "seen URL matched by this rule pipeline (e.g. "
+        "'+domain=h1.example.test', '+url=*/static/*') from the "
+        "checkpoint's seen state, so future link discoveries re-admit "
+        "them — the staleness/recrawl primitive. Requires --ckpt. With "
+        "--gate cuckoo-colocated the forgotten fingerprints are also "
+        "deleted from the storage gate (distributed job, no rebuild); "
+        "other gates keep them as harmless false positives until their "
+        "next rebuild. Seed-relative tests (original-domain, down, ...) "
+        "match nothing here.",
+    )
+    ap.add_argument(
         "--mirror-distributed",
         action="store_true",
         help="write mirror files executor-side (mapPartitions over a "
@@ -240,6 +255,37 @@ def main(argv=None) -> int:
 
     spark = build_spark(cores=args.cores, app_name="track0s-crawl")
     try:
+        if args.forget is not None:
+            # FORGET mode: no crawl — rewrite the seen state minus the
+            # matched keys (snapshot.forget_seen docstring for the full
+            # semantics + gate story)
+            from track0s.rules import parse_pipeline
+            from track0_spark.functions.rules_compile import compile_rules
+            from track0_spark.sources.snapshot import SnapshotStore
+
+            if not args.ckpt:
+                ap.error("--forget requires --ckpt")
+            store = SnapshotStore(spark, args.ckpt)
+            latest = store.latest_round()
+            if latest is None:
+                ap.error(f"--forget: no committed rounds under {args.ckpt}")
+            match = compile_rules(
+                parse_pipeline(args.forget), False, [], []
+            )
+            meta = store.forget_seen(latest, match)
+            out = {"forget": meta, "round": latest, "ckpt": args.ckpt}
+            if args.gate == "cuckoo-colocated" and meta["forgotten"]:
+                from track0_spark.operators.cuckoo_colocated import (
+                    ColocatedCuckooGate,
+                )
+
+                gate = ColocatedCuckooGate(spark, args.ckpt)
+                gate.ensure(latest)
+                out["gate_fingerprints_deleted"] = gate.delete_distributed(
+                    store.load_forgotten(latest), upto=latest
+                )
+            print(json.dumps(out))
+            return 0
         robots = RobotsTable(default_budget=args.budget)
         if args.profile:
             prof = PROFILES[args.profile]

@@ -199,6 +199,78 @@ class SnapshotStore:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
         return meta
 
+    def forget_seen(self, rnd: int, match_col) -> dict:
+        """Selective FORGET: rewrite the seen state at ``rnd`` as a new
+        compacted base EXCLUDING every key where ``match_col`` (a
+        boolean Column over url_canon / host / path / protocol /
+        first_round) is true — the S4 staleness companion: a forgotten
+        URL becomes re-admittable the next time any fetched page links
+        to it, without touching crawl history or the pending frontier.
+
+        Correctness with the approximate gates is free by construction:
+        a gate still containing forgotten fingerprints only produces
+        FALSE POSITIVES (one wasted exact probe each) — the exact
+        anti-join now runs against the rewritten seen state, so
+        re-admission works under every gate with ZERO gate maintenance.
+        Restoring gate PRECISION is where the deletable cuckoo earns
+        its keep: ``ColocatedCuckooGate.delete_distributed`` removes
+        the forgotten fingerprints as a distributed per-bucket job (the
+        bloom's only precision-restoring move is a full rebuild).
+
+        The removed keys are stashed under the new base dir
+        (``forgotten/``: url_canon, url_h64) exactly for that gate
+        deletion job. Same tmp-dir + rename commit discipline as
+        ``compact_seen``; superseded compacts are dropped the same way
+        (per-round deltas stay untouched — crawl_log shares them)."""
+        from pyspark.sql import functions as F
+
+        tmp = os.path.join(self.root, f".tmp-forget-{rnd:05d}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        t0 = time.time()
+        enriched = self.load_seen(rnd).select(
+            "*",
+            F.expr("parse_url(url_canon, 'HOST')").alias("host"),
+            F.expr("parse_url(url_canon, 'PATH')").alias("path"),
+            F.element_at(F.split("url_canon", "://"), 1).alias("protocol"),
+        )
+        seen_cols = [f.name for f in SEEN.fields]
+        # compile_rules Columns are CASE chains ending in a literal
+        # default — never NULL — so match/~match partition exactly
+        enriched.filter(match_col).select(
+            "url_canon", "url_h64"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "forgotten"))
+        enriched.filter(~match_col).select(*seen_cols).repartition(
+            max(self.spark.sparkContext.defaultParallelism, 8)
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "seen"))
+        removed = _pq_count(os.path.join(tmp, "forgotten"))
+        kept = _pq_count(os.path.join(tmp, "seen"))
+        meta = {
+            "round": rnd,
+            "rows": kept,
+            "forgotten": removed,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(tmp, "COMPACT.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        final = self._compact_dir(rnd)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        for name in os.listdir(self.root):
+            if name.startswith("compact_") and name != f"compact_{rnd:05d}":
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        return meta
+
+    def load_forgotten(self, rnd: int) -> DataFrame:
+        """The keys removed by ``forget_seen`` at round ``rnd`` —
+        the input to a gate deletion job."""
+        path = os.path.join(self._compact_dir(rnd), "forgotten")
+        return self.spark.read.schema("url_canon string, url_h64 long").parquet(
+            path
+        )
+
     def load_seen(self, rnd: int) -> DataFrame:
         """Seen state at round rnd = newest compacted base (if any) +
         deltas since it.
