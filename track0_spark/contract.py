@@ -1439,6 +1439,261 @@ FROM d GROUP BY lang, split
 Q38_SQL = _q38_sql()
 
 
+def q39_dup_clusters(spark, sf):
+    """Duplicate-CLUSTER resolution — q24's MinHash-LSH pairs
+    contracted to transitive components (operators/components.py
+    hook + pointer-jump, the public CC-over-LSH dedup recipe), one
+    deterministic keeper (min doc_id) per cluster. Output: one row per
+    CLUSTERED doc with its cluster representative and whether it is
+    the kept one — exactly the drop-list a dedup materialization
+    consumes. Oracle: same pairs via Q24's SQL, closure via a
+    recursive CTE. At 100 TB the pair set is the banded join's output
+    (never all-pairs) and CC is O(log n) hash-shuffle rounds."""
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_native_pairs
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    handles: list = []
+    pairs = minhash_native_pairs(
+        d, "doc_id", "text", threshold=0.35, handles=handles
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    _rotate_handles(handles)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster",
+        (F.col("node") == F.col("cluster")).alias("keep"),
+    )
+
+
+def _q39_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({Q24_SQL.strip()}) q24),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster,
+       u = least(u, min(v)) AS keep
+FROM reach GROUP BY u
+"""
+
+
+Q39_SQL = _q39_sql()
+
+
+def q40_graph_rank(spark, sf):
+    """Link-graph centrality (operators/graphrank.py): weighted
+    PageRank, 5 damped power iterations, over the bipartite
+    customer<->supplier graph induced by lineitem x orders (edge
+    weight = co-occurrence count, symmetrised so no node dangles) —
+    the host-graph quality signal a crawl frontier prioritises by and
+    a pretraining pipeline weights documents by. Oracle: the 5
+    iterations unrolled as chained CTEs with the identical float
+    expression shape; ranks rounded to 8 decimals on both sides."""
+    from .operators.graphrank import pagerank
+
+    li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = e0.union(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _q40_sql(iters: int = 5) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+pr{i} AS (
+  SELECT n.node,
+         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.contrib, 0)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank * e.w / o.tot) AS contrib
+    FROM edges e JOIN pr{i - 1} p ON e.src = p.node
+                 JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = n.node)"""
+        )
+    return (
+        """
+WITH
+edges0 AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                  CAST(count(*) AS DOUBLE) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+edges AS (SELECT src, dst, w FROM edges0
+          UNION ALL SELECT dst, src, w FROM edges0),
+outw AS (SELECT src, sum(w) AS tot FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+        + ",".join(steps)
+        + f"""
+SELECT node, round(rank, 8) AS rank FROM pr{iters}
+"""
+    )
+
+
+Q40_SQL = _q40_sql()
+
+#: hashed-bigram feature space for q41 (DSIR) — power of two, small
+#: enough that the per-bucket log-ratio table broadcasts everywhere
+_DSIR_BUCKETS = 1024
+
+
+def q41_importance_weights(spark, sf):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public): score(doc) = sum over its bigrams of
+    log(p_target(bucket) / p_raw(bucket)) under add-1-smoothed
+    hashed-bigram bag models (B=1024 buckets, portable char-fold
+    hash); target distribution = the 'en' slice. High scores = docs
+    that look like the target corpus — the resampling key.
+
+    Scale shape: two narrow hash aggs build the bucket count tables,
+    the B-row log-ratio table is BROADCAST onto the exploded bigrams
+    (no shuffle of the corpus), one per-doc hash agg finishes — at
+    100 TB the only wide exchange is the final groupBy(doc_id)."""
+    from .operators.dedup import char_hash_sql
+
+    B = _DSIR_BUCKETS
+    d = T(spark, sf, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"({char_hash_sql('gram')}) % {B}").alias("bucket"),
+    )
+    handles: list = [g.persist()]
+    t_raw = g.count()
+    t_tgt = g.filter(F.col("lang") == "en").count()
+    cr = g.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        g.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ratio = cr.join(ct, "bucket", "left").select(
+        "bucket",
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / F.lit(t_tgt + B))
+            / ((F.col("cr") + 1.0) / F.lit(t_raw + B))
+        ).alias("lr"),
+    )
+    out = (
+        g.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("lr"), 6).alias("importance"))
+    )
+    _rotate_handles(handles)
+    return out
+
+
+def _q41_sql() -> str:
+    B = _DSIR_BUCKETS
+    bigram = "array_to_string(t[i:i+1], ' ')"
+    return f"""
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, lang, t,
+               unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+g AS (SELECT doc_id, lang,
+             ({duck_char_hash(bigram)}) % {B} AS bucket FROM idx),
+cr AS (SELECT bucket, count(*) AS cr FROM g GROUP BY bucket),
+ct AS (SELECT bucket, count(*) AS ct FROM g WHERE lang = 'en'
+       GROUP BY bucket),
+tr AS (SELECT count(*) AS v FROM g),
+tt AS (SELECT count(*) AS v FROM g WHERE lang = 'en'),
+lr AS (SELECT cr.bucket,
+              ln(((coalesce(ct, 0) + 1.0) / ((SELECT v FROM tt) + {B})) /
+                 ((cr + 1.0) / ((SELECT v FROM tr) + {B}))) AS lr
+       FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket)
+SELECT doc_id, lang, round(sum(lr), 6) AS importance
+FROM g JOIN lr ON g.bucket = lr.bucket
+GROUP BY doc_id, lang
+"""
+
+
+Q41_SQL = _q41_sql()
+
+
+def q42_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity cut) — the crawl
+    engine's revisit/interval-scheduling shape (per-host request
+    batching, politeness windows) as the classic stateful window op.
+    Per user: session count and longest session in events. Timestamps
+    compared as exact epoch MICROSECONDS on both engines (gaps cancel
+    any timezone rebasing), ties broken by event_id. Scale: ONE
+    window shuffle on user_id, then hash aggs — no driver state."""
+    # ts arrives TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the NTZ->TIMESTAMP cast is offset-free and
+    # unix_micros equals DuckDB's epoch_us on the same parquet value
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    s = ev.withColumn(
+        "ns",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = s.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n").cast("bigint").alias("longest_session_events"),
+    )
+
+
+Q42_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+x AS (SELECT user_id, us, event_id,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               IS NULL
+          OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               > 1800000000
+        THEN 1 ELSE 0 END AS ns FROM e),
+s AS (SELECT user_id,
+        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+p AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS longest_session_events
+FROM p GROUP BY user_id
+"""
+
 
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
@@ -1479,6 +1734,10 @@ QUERIES = {
     "q36_repetition_quality": (q36_repetition_quality, Q36_SQL),
     "q37_decontaminate_ngrams": (q37_decontaminate_ngrams, Q37_SQL),
     "q38_packing_estimate": (q38_packing_estimate, Q38_SQL),
+    "q39_dup_clusters": (q39_dup_clusters, Q39_SQL),
+    "q40_graph_rank": (q40_graph_rank, Q40_SQL),
+    "q41_importance_weights": (q41_importance_weights, Q41_SQL),
+    "q42_sessionize": (q42_sessionize, Q42_SQL),
 }
 
 
