@@ -40,12 +40,26 @@ def connected_components(
     the component's MINIMUM node id (deterministic representative).
     Isolated nodes never appear in ``edges`` and are the caller's to
     union in as their own singletons if wanted."""
-    sym = (
+    from ._iterative import iteration_scope
+
+    sym0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist()
     )
+    n_edges = sym0.count()
+    with iteration_scope(sym0.sparkSession, n_edges) as p:
+        # pin the edge list to the hook join's key ONCE — every round's
+        # big-side shuffle disappears (labels, the small side, moves)
+        sym = sym0.repartition(p, "v").persist()
+        labels = _cc_loop(sym, max_iter)
+    sym.unpersist()
+    sym0.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select("u")
         .distinct()
@@ -97,5 +111,4 @@ def connected_components(
             "(doubling converges in O(log n) — raise max_iter only for "
             "graphs beyond ~2^50 nodes)"
         )
-    sym.unpersist()
-    return labels.select("node", F.col("label").alias("cluster"))
+    return labels

@@ -40,18 +40,33 @@ def pagerank(
     """(node, rank) after ``iters`` damped power iterations from the
     uniform vector; ranks sum to ~1. Nodes = distinct ``src`` values
     (give every node an out-edge; see module docstring)."""
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("_tot"))
-    e = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-            F.col(weight).alias("_w"),
-            "_tot",
+    from ._iterative import iteration_scope
+
+    e0 = edges.persist()
+    n_edges = e0.count()
+    with iteration_scope(e0.sparkSession, n_edges) as p:
+        outw = e0.groupBy(src).agg(F.sum(weight).alias("_tot"))
+        # pin the edge table to the contribution join's key ONCE (p
+        # co-partitioned with every in-loop shuffle): each round then
+        # moves only the rank table, never the edges
+        e = (
+            e0.join(outw, src)
+            .select(
+                F.col(src).alias("_src"),
+                F.col(dst).alias("_dst"),
+                F.col(weight).alias("_w"),
+                "_tot",
+            )
+            .repartition(p, F.col("_src"))
+            .persist()
         )
-        .repartition(F.col("_src"))
-        .persist()
-    )
+        ranks = _pr_loop(e, iters, damping)
+    e.unpersist()
+    e0.unpersist()
+    return ranks
+
+
+def _pr_loop(e: DataFrame, iters: int, damping: float) -> DataFrame:
     nodes = e.select(F.col("_src").alias("node")).distinct().persist()
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -76,6 +91,5 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    e.unpersist()
     nodes.unpersist()
     return ranks
