@@ -191,9 +191,47 @@ def main() -> int:
         "q33_top_terms_per_lang",
         "q36_repetition_quality",
         "q37_decontaminate_ngrams",
+        "q41_importance_weights",
+        "q42_sessionize",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))
+
+    # q39/q40 run their loops eagerly and return a checkpointed RDD
+    # scan, so explain their per-ITERATION body instead — the claim to
+    # verify: the p-co-partitioned edge table enters its join with NO
+    # Exchange (only the small label/rank side moves per round)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    edges = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("_src"),
+        (F.col("id") % 89).alias("_dst"),
+        F.lit(1.0).alias("_w"),
+        F.lit(2.0).alias("_tot"),
+    )
+    e = edges.repartition(4, F.col("_src")).persist()
+    e.count()
+    ranks = (
+        e.select(F.col("_src").alias("node")).distinct()
+        .select("node", F.lit(0.01).alias("rank"))
+        .localCheckpoint()
+    )
+    contrib = (
+        e.join(ranks, e["_src"] == ranks["node"])
+        .groupBy("_dst")
+        .agg(F.sum(F.col("rank") * F.col("_w") / F.col("_tot")).alias("_c"))
+    )
+    sections.append(
+        (
+            "PageRank / CC iteration body (operators/graphrank.py, "
+            "components.py): edge table pinned to the join key once — "
+            "verify the persisted InMemoryTableScan side has NO Exchange "
+            "above it; only the rank/label side shuffles per round",
+            grab(contrib),
+        )
+    )
+    e.unpersist()
 
     out = ["# PLANS.md — physical plans of the key operators", ""]
     out.append(
