@@ -1,0 +1,194 @@
+"""Webgraph-from-crawl tier (operators/linkgraph.py): the edge list a
+separate pass derives from (crawl_log ⋈ pages) must be EXACTLY the
+links the crawl itself saw — same parser, same canonicalization, same
+redirect/content-type semantics — verified against a sequential oracle
+that mirrors reference_impl/spider.py's extraction loop (but, like the
+operator, ignores @follow/@stop: the corpus graph records every link
+on every fetched page, not the crawl's admission decisions)."""
+
+import json
+import os
+import subprocess
+import sys
+from collections import Counter
+
+import pytest
+
+from datagen import webgen
+from reference_impl.spider import OracleSpider
+from track0s import canon, mime
+from track0s.extract import decode_html, parse_css, parse_html
+from track0s.http import header_content_type, redirect_target, resolve_redirect
+from track0_spark.operators.linkgraph import (
+    extract_edges,
+    host_components,
+    host_graph,
+    host_rank,
+)
+from track0_spark.operators.graphrank import pagerank
+from track0_spark.sources.pages import pages_from_rows
+
+from .test_spark_crawl import make_cfg
+
+EDGE_COLS = ["src_url", "dst_url", "src_host", "dst_host", "src_tag", "is_requisite"]
+
+
+def oracle_edges(log_rows, store):
+    """Sequential twin of extract_edges: one (src,dst) per link
+    occurrence on a fetched page, document order ignored (the graph is
+    a multiset of edges). 301 parents contribute their single resolved
+    meta-refresh target; 404s (no body in the store) contribute none."""
+    edges = []
+    for r in log_rows:
+        page = store.get(r["url_canon"])
+        if page is None:
+            continue
+        redir = redirect_target(page.html)
+        if redir:
+            u = resolve_redirect(r["url_canon"], redir)
+            if u is not None:
+                edges.append(
+                    (r["url_canon"], u, r["host"], canon.host_of(u), "meta", False)
+                )
+            continue
+        ctype = header_content_type(page.html) or mime.content_type_for(
+            canon.path_of(r["url_canon"])
+        )
+        if mime.is_html(ctype):
+            links, _text = parse_html(r["url_canon"], decode_html(page.html))
+        elif mime.is_css(ctype):
+            links = parse_css(r["url_canon"], decode_html(page.html))
+        else:
+            continue
+        for link in links:
+            u = canon.canonicalize(link.url)
+            edges.append(
+                (
+                    r["url_canon"],
+                    u,
+                    r["host"],
+                    canon.host_of(u),
+                    link.tag,
+                    link.is_requisite,
+                )
+            )
+    return edges
+
+
+@pytest.fixture(scope="module")
+def web_rows():
+    return webgen.gen_pages(webgen.SF_UNIT)
+
+
+@pytest.fixture(scope="module")
+def oracle_run(web_rows):
+    sp = OracleSpider(make_cfg(), webgen.store_from_rows(web_rows))
+    log = sp.run()
+    return log, webgen.store_from_rows(web_rows)
+
+
+def test_edges_match_sequential_oracle(spark, web_rows, oracle_run):
+    """Every link occurrence the crawl saw, as a multiset — byte-level
+    url/host/tag parity between the Arrow pass and the oracle loop."""
+    olog, store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    got = Counter(
+        tuple(r[c] for c in EDGE_COLS)
+        for r in extract_edges(log_df, pages).collect()
+    )
+    exp = Counter(oracle_edges(olog, store))
+    assert got == exp
+    assert sum(exp.values()) > 100  # the fixture web is non-trivial
+
+
+def test_host_graph_weights(spark, web_rows, oracle_run):
+    olog, store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    hg = host_graph(extract_edges(log_df, pages))
+    got = {(r["src_host"], r["dst_host"]): r["w"] for r in hg.collect()}
+    exp = Counter((e[2], e[3]) for e in oracle_edges(olog, store))
+    assert got == {k: float(v) for k, v in exp.items()}
+
+
+def test_host_rank_symmetrizes_and_merges(spark):
+    """host_rank == pagerank over the hand-built undirected multigraph:
+    antiparallel weights merge (a→b 1.0 + b→a 2.0 = both-way 3.0)."""
+    hg = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 2.0), ("b", "c", 1.0)],
+        "src_host string, dst_host string, w double",
+    )
+    sym = spark.createDataFrame(
+        [("a", "b", 3.0), ("b", "a", 3.0), ("b", "c", 1.0), ("c", "b", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["host"]: r["rank"] for r in host_rank(hg, iters=12).collect()}
+    exp = {
+        r["node"]: r["rank"]
+        for r in pagerank(sym, "src", "dst", "w", iters=12).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-12)
+    # undirected chain with a heavy a-b edge: b (the hub) ranks first
+    assert max(got, key=got.get) == "b"
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_host_components_islands(spark):
+    hg = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "d", 2.0), ("d", "c", 1.0)],
+        "src_host string, dst_host string, w double",
+    )
+    rows = host_components(hg).collect()
+    comp = {r["host"]: r["component"] for r in rows}
+    assert set(comp) == {"a", "b", "c", "d"}
+    assert comp["a"] == comp["b"]
+    assert comp["c"] == comp["d"]
+    assert comp["a"] != comp["c"]
+
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(script, argv):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "jobs", script), *argv],
+        capture_output=True,
+        text=True,
+        cwd=_REPO,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_webgraph_cli_separate_pass(tmp_path, web_rows, oracle_run):
+    """The Common-Crawl pattern end-to-end: crawl job writes the
+    checkpoint, a SEPARATE webgraph job derives edges/rank/components
+    from it. Subprocesses: each CLI owns (and stops) its session."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "graph")
+    _run_cli(
+        "crawl.py",
+        ["--profile", "sf-unit", "--rounds", "40", "--cores", "4",
+         "--head", "0", "--ckpt", ckpt],
+    )
+    summary = _run_cli(
+        "webgraph.py",
+        ["--ckpt", ckpt, "--profile", "sf-unit", "--out", out, "--cores", "4"],
+    )
+    olog, store = oracle_run
+    exp = oracle_edges(olog, store)
+    assert summary["n_edges"] == len(exp)
+    assert summary["n_hosts"] == len(
+        {e[2] for e in exp} | {e[3] for e in exp}
+    )
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(out, "edges")).num_rows == len(exp)
+    ranks = pq.read_table(os.path.join(out, "host_rank")).to_pydict()
+    assert sum(ranks["rank"]) == pytest.approx(1.0, abs=1e-6)
+    comps = pq.read_table(os.path.join(out, "host_components")).to_pydict()
+    assert len(comps["host"]) == summary["n_hosts"]
