@@ -6,11 +6,13 @@ not logic inside the crawler (operators/linkgraph.py docstring).
     spark-submit --py-files dist/track0s.zip jobs/webgraph.py \
         --ckpt /data/ckpt --pages /data/pages_parquet --out /data/graph
 
-Writes four parquet datasets under --out:
+Writes six parquet datasets under --out:
     edges/            one row per link occurrence on a fetched page
     host_graph/       weighted (src_host, dst_host, w) projection
     host_rank/        weighted PageRank over the symmetrised host graph
     host_components/  crawl islands (undirected connected components)
+    domain_graph/     registered-domain projection (PSL semantics)
+    domain_rank/      PageRank over the symmetrised domain graph
 and prints a one-line JSON summary. ``--profile`` synthesises the
 deterministic test web in-memory instead of reading parquet, mirroring
 jobs/crawl.py so the two stages compose in tests (FIXTURES.md §2)."""
@@ -43,6 +45,7 @@ def main(argv=None) -> int:
         ap.error("exactly one of --pages / --profile is required")
 
     from track0_spark.operators.linkgraph import (
+        domain_graph,
         extract_edges,
         host_components,
         host_graph,
@@ -79,6 +82,15 @@ def main(argv=None) -> int:
         host_components(hg).write.mode("overwrite").parquet(
             os.path.join(out, "host_components")
         )
+        dg = domain_graph(hg)
+        dg.write.mode("overwrite").parquet(os.path.join(out, "domain_graph"))
+        dg = spark.read.parquet(os.path.join(out, "domain_graph"))
+        host_rank(
+            dg, iters=args.iters, damping=args.damping,
+            src="src_domain", dst="dst_domain",
+        ).withColumnRenamed("host", "domain").write.mode("overwrite").parquet(
+            os.path.join(out, "domain_rank")
+        )
 
         n_edges = spark.read.parquet(os.path.join(out, "edges")).count()
         rank = spark.read.parquet(os.path.join(out, "host_rank"))
@@ -89,12 +101,16 @@ def main(argv=None) -> int:
         ]
         comps = spark.read.parquet(os.path.join(out, "host_components"))
         n_components = comps.select("component").distinct().count()
+        n_domains = (
+            spark.read.parquet(os.path.join(out, "domain_rank")).count()
+        )
         print(
             json.dumps(
                 {
                     "n_edges": n_edges,
                     "n_hosts": n_hosts,
                     "n_components": n_components,
+                    "n_domains": n_domains,
                     "top_hosts": top,
                     "out": out,
                 }

@@ -20,6 +20,7 @@ from track0s import canon, mime
 from track0s.extract import decode_html, parse_css, parse_html
 from track0s.http import header_content_type, redirect_target, resolve_redirect
 from track0_spark.operators.linkgraph import (
+    domain_graph,
     extract_edges,
     host_components,
     host_graph,
@@ -100,6 +101,51 @@ def test_edges_match_sequential_oracle(spark, web_rows, oracle_run):
     exp = Counter(oracle_edges(olog, store))
     assert got == exp
     assert sum(exp.values()) > 100  # the fixture web is non-trivial
+
+
+def test_postfilter_variant_identical(spark, web_rows, oracle_run):
+    """prefilter='none' (parse-all + narrow src join — the full-archive
+    plan where html never enters a join) emits the SAME edge multiset
+    as the broadcast-prefilter plan."""
+    olog, _store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    a = Counter(
+        tuple(r[c] for c in EDGE_COLS)
+        for r in extract_edges(log_df, pages, prefilter="broadcast").collect()
+    )
+    b = Counter(
+        tuple(r[c] for c in EDGE_COLS)
+        for r in extract_edges(log_df, pages, prefilter="none").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        extract_edges(log_df, pages, prefilter="bogus")
+
+
+def test_domain_graph_matches_python_twin(spark):
+    """Registered-domain projection == track0s.canon.registered_domain
+    applied row-wise, including a two-level public suffix."""
+    from track0s.canon import registered_domain
+
+    hg = spark.createDataFrame(
+        [
+            ("a.shop.example.co.uk", "cdn.example.co.uk", 2.0),
+            ("cdn.example.co.uk", "news.example.org", 1.0),
+            ("news.example.org", "example.org", 3.0),
+        ],
+        "src_host string, dst_host string, w double",
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["w"]
+        for r in domain_graph(hg).collect()
+    }
+    exp = Counter()
+    for s, d, w in hg.collect():
+        exp[(registered_domain(s), registered_domain(d))] += w
+    assert got == dict(exp)
+    # intra-domain host edges collapse onto the diagonal
+    assert ("example.co.uk", "example.co.uk") in got
 
 
 def test_host_graph_weights(spark, web_rows, oracle_run):
@@ -192,3 +238,6 @@ def test_webgraph_cli_separate_pass(tmp_path, web_rows, oracle_run):
     assert sum(ranks["rank"]) == pytest.approx(1.0, abs=1e-6)
     comps = pq.read_table(os.path.join(out, "host_components")).to_pydict()
     assert len(comps["host"]) == summary["n_hosts"]
+    dranks = pq.read_table(os.path.join(out, "domain_rank")).to_pydict()
+    assert len(dranks["domain"]) == summary["n_domains"]
+    assert sum(dranks["rank"]) == pytest.approx(1.0, abs=1e-6)

@@ -27,26 +27,83 @@ from ..functions.exprs import (
     content_type_expr,
     header_content_type_expr,
     is_html_expr,
+    redirect_target_expr,
 )
 from ..functions.udfs import EXTRACT_INPUT_COLS, make_extract_candidates
 from ..schemas import CANDIDATE
 
 
-def extract_edges(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
+def _extractable_filter():
+    """The UDF parses whatever it is handed (the round plan pre-filters,
+    plans/round.py `_parent_filter`) — the same extractable gate, minus
+    the @stop condition the module deliberately ignores: 200+html/css
+    parse, 301 emits its one redirect edge, anything else is a leaf."""
+    ok = is_html_expr(F.col("content_type")) | F.col(
+        "content_type"
+    ).startswith("text/css")
+    return ((F.col("status") == 200) & ok) | (F.col("status") == 301)
+
+
+def extract_edges(
+    crawl_log: DataFrame, pages: DataFrame, prefilter: str = "broadcast"
+) -> DataFrame:
     """One row per link occurrence on a fetched page:
     (src_url, dst_url, src_host, dst_host, src_tag, is_requisite).
     301 parents contribute their single resolved redirect target —
-    alias edges are edges. 404s drop out via the inner body join."""
-    log = crawl_log.select(
-        "url_canon", "host", "depth", "domain_depth", "fetch_seq", "status"
-    )
-    keys = F.broadcast(log.select(F.col("url_canon").alias("url")))
-    bodies = (
-        pages.join(keys, "url", "left_semi")
-        .hint("SHUFFLE_HASH")
-        .select(F.col("url").alias("url_canon"), "html")
-    )
-    fetched = log.join(bodies, "url_canon")
+    alias edges are edges. 404s never reach the parser (no body row /
+    inner src join). Precondition: one pages row per url (dedup a
+    multi-fetch snapshot with operators/revisit.latest_unique_pages).
+
+    Two physically different plans, same output (test-asserted equal):
+
+    ``prefilter="broadcast"`` — semi-join pages against the fetched key
+    set before parsing. Right when that key set broadcasts: a segment /
+    incremental pass, or any crawl up to ~10^8 fetches. At the full
+    10^10 archive the key set is tens of GB — don't broadcast it.
+
+    ``prefilter="none"`` — the full-archive shape: parse EVERY
+    extractable page straight off the scan (status + effective
+    content-type derived natively from the page itself, exactly the
+    round plan's exprs), then inner-join the NARROW edge rows against
+    crawl_log on src_url. The fat html column never enters any join or
+    exchange — only (url, edge-attrs) rows shuffle — and src_host is
+    taken from the log, which also makes the join the authoritative
+    fetched-set filter. Parse cost is the whole archive, so prefer
+    "broadcast" when the fetched fraction is small and broadcastable;
+    at Common-Crawl shape (the archive IS the fetched set, ~100%) the
+    extra parse is ~zero and this wins outright. With storage-bucketed
+    pages+crawl_log tables (sources/bucketed.py) the broadcast
+    variant's joins are Exchange-free anyway — that is the preferred
+    10^10 deployment when both tables share the url bucketing.
+    """
+    log = crawl_log.select("url_canon", "host")
+    if prefilter == "broadcast":
+        keys = F.broadcast(log.select(F.col("url_canon").alias("url")))
+        bodies = (
+            pages.join(keys, "url", "left_semi")
+            .hint("SHUFFLE_HASH")
+            .select(F.col("url").alias("url_canon"), "html")
+        )
+        fetched = crawl_log.select(
+            "url_canon", "host", "depth", "domain_depth", "fetch_seq", "status"
+        ).join(bodies, "url_canon")
+    elif prefilter == "none":
+        fetched = pages.select(
+            F.col("url").alias("url_canon"),
+            # via_host placeholder — src_host is joined from the log
+            # below; dst_host is computed inside the UDF (host_of)
+            F.lit("").alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("domain_depth"),
+            F.lit(0).cast("long").alias("fetch_seq"),
+            F.when(F.col("html").isNull(), 404)
+            .when(redirect_target_expr(F.col("html")).isNotNull(), 301)
+            .otherwise(200)
+            .alias("status"),
+            "html",
+        )
+    else:
+        raise ValueError(f"prefilter must be 'broadcast' or 'none': {prefilter!r}")
     # the same effective content-type the round computed: in-band
     # header declaration overrides the extension guess (track0s/http)
     fetched = fetched.select(
@@ -55,27 +112,31 @@ def extract_edges(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
             header_content_type_expr(F.col("html")),
             content_type_expr(F.expr("parse_url(url_canon, 'PATH')")),
         ).alias("content_type"),
-    )
-    # the UDF parses whatever it is handed (the round plan pre-filters,
-    # plans/round.py `_parent_filter`) — apply the same extractable
-    # gate here, minus the @stop condition the module deliberately
-    # ignores: 200+html/css parse, 301 emits its one redirect edge
-    extractable = is_html_expr(F.col("content_type")) | F.col(
-        "content_type"
-    ).startswith("text/css")
-    fetched = fetched.filter(
-        ((F.col("status") == 200) & extractable) | (F.col("status") == 301)
-    )
+    ).filter(_extractable_filter())
     links = fetched.select(*EXTRACT_INPUT_COLS).mapInPandas(
         make_extract_candidates(None), CANDIDATE
     )
-    return links.select(
+    if prefilter == "broadcast":
+        return links.select(
+            F.col("via_url").alias("src_url"),
+            F.col("url_canon").alias("dst_url"),
+            F.col("via_host").alias("src_host"),
+            F.col("host").alias("dst_host"),
+            "src_tag",
+            "is_requisite",
+        )
+    narrow = links.select(
         F.col("via_url").alias("src_url"),
         F.col("url_canon").alias("dst_url"),
-        F.col("via_host").alias("src_host"),
         F.col("host").alias("dst_host"),
         "src_tag",
         "is_requisite",
+    )
+    src = log.select(
+        F.col("url_canon").alias("src_url"), F.col("host").alias("src_host")
+    )
+    return narrow.join(src.hint("SHUFFLE_HASH"), "src_url").select(
+        "src_url", "dst_url", "src_host", "dst_host", "src_tag", "is_requisite"
     )
 
 
@@ -87,28 +148,59 @@ def host_graph(edges: DataFrame) -> DataFrame:
     )
 
 
-def host_rank(hgraph: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
-    """(host, rank): weighted PageRank over the SYMMETRISED host graph
-    (symmetrising gives every node an out-edge, so no dangling mass —
-    the undirected-centrality convention of public host-rank lists)."""
-    from .graphrank import pagerank
+def domain_graph(hgraph: DataFrame, psl=None) -> DataFrame:
+    """Registered-domain projection of the host graph — Common Crawl
+    publishes BOTH a host-level and a domain-level webgraph; this is
+    the second. (src_domain, dst_domain, w) with intra-domain host
+    edges collapsing onto the diagonal. PSL semantics are exactly the
+    rule tier's (R11): the frozen 22-suffix subset compiled natively by
+    default, or a full parsed Public Suffix List via ``psl=`` — both
+    pure Column expressions, zero Python in the projection."""
+    from ..functions.rules_compile import reg_domain_col, reg_domain_col_psl
 
-    sym = hgraph.union(
+    def reg(col: str):
+        if psl is None:
+            return reg_domain_col(col)
+        return reg_domain_col_psl(psl, col)
+
+    return (
         hgraph.select(
-            F.col("dst_host").alias("src_host"),
-            F.col("src_host").alias("dst_host"),
+            reg("src_host").alias("src_domain"),
+            reg("dst_host").alias("dst_domain"),
             "w",
         )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("w").alias("w"))
     )
-    merged = sym.groupBy("src_host", "dst_host").agg(
-        F.sum("w").alias("w")
+
+
+def host_rank(
+    hgraph: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """(host, rank): weighted PageRank over the SYMMETRISED host graph
+    (symmetrising gives every node an out-edge, so no dangling mass —
+    the undirected-centrality convention of public host-rank lists).
+    Pass src/dst to rank other projections (e.g. the domain graph)."""
+    from .graphrank import pagerank
+
+    sym = hgraph.select(src, dst, "w").union(
+        hgraph.select(
+            F.col(dst).alias(src), F.col(src).alias(dst), "w"
+        )
     )
+    merged = sym.groupBy(src, dst).agg(F.sum("w").alias("w"))
     return pagerank(
-        merged, "src_host", "dst_host", "w", iters=iters, damping=damping
+        merged, src, dst, "w", iters=iters, damping=damping
     ).withColumnRenamed("node", "host")
 
 
-def host_components(hgraph: DataFrame) -> DataFrame:
+def host_components(
+    hgraph: DataFrame, src: str = "src_host", dst: str = "dst_host"
+) -> DataFrame:
     """(host, component): connected components of the host graph — the
     'crawl islands' view (which host families are reachable from one
     another regardless of direction). ``component`` is the island's
@@ -127,8 +219,8 @@ def host_components(hgraph: DataFrame) -> DataFrame:
     from .components import connected_components
 
     hosts = (
-        hgraph.select(F.col("src_host").alias("host"))
-        .union(hgraph.select(F.col("dst_host").alias("host")))
+        hgraph.select(F.col(src).alias("host"))
+        .union(hgraph.select(F.col(dst).alias("host")))
         .distinct()
     )
     ids = hosts.select(
@@ -137,9 +229,9 @@ def host_components(hgraph: DataFrame) -> DataFrame:
     # no broadcast hint: the id table is small vs the PAGE graph but can
     # still be multi-GB (10^8 hosts) — AQE picks broadcast when it fits
     e = (
-        hgraph.join(ids.withColumnRenamed("host", "src_host"), "src_host")
+        hgraph.join(ids.withColumnRenamed("host", src), src)
         .withColumnRenamed("hid", "sid")
-        .join(ids.withColumnRenamed("host", "dst_host"), "dst_host")
+        .join(ids.withColumnRenamed("host", dst), dst)
         .withColumnRenamed("hid", "did")
         .select("sid", "did")
     )
