@@ -1695,6 +1695,81 @@ FROM p GROUP BY user_id
 """
 
 
+def q43_substring_dup(spark, sf):
+    """Exact-substring duplication profile (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' family,
+    windowed approximation): slide 30-char windows at stride 7 over
+    each doc; a window is duplicated iff its exact text occurs >= 2
+    times corpus-wide; report per-doc window total, duplicated-window
+    count, and the duplication fraction — the signal a pipeline
+    thresholds to drop boilerplate-heavy docs. (The paper's
+    suffix-array finds arbitrary-length spans; fixed windows with
+    stride trade recall at span boundaries for a pure DataFrame plan.)
+
+    Scale shape: windows are HASHED to int64 (xxhash64) before the
+    corpus-wide group-by, so the explode and both aggregations carry
+    8-byte keys instead of 30-char strings (~4x shuffle-width cut; the
+    same trick as q37, same collision argument: a 64-bit collision —
+    ~1e-7 at 10^10 windows per partition-group — could only mark one
+    extra window duplicated). The duplicated-key set joins back via
+    left_semi; no driver state, three hash exchanges total. Set
+    TRACK0S_Q43_EXACT=1 for the string-keyed verification twin."""
+    import os as _os
+
+    hashed = _os.environ.get("TRACK0S_Q43_EXACT", "") != "1"
+    W, S = 30, 7
+    d = T(spark, sf, "documents").filter(F.length("text") >= W)
+    win = F.explode(
+        F.expr(
+            f"transform(sequence(0, length(text)-{W}, {S}),"
+            f" i -> substring(text, i+1, {W}))"
+        )
+    ).alias("win")
+    w = d.select("doc_id", win)
+    if hashed:
+        w = w.select("doc_id", F.xxhash64("win").alias("win"))
+    dup = (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("win")
+    )
+    tot = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    dd = (
+        w.join(dup, "win", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    )
+    return tot.join(dd, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.round(
+            F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+            / F.col("n_windows"),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
+Q43_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+w AS (SELECT doc_id, substr(text, i + 1, 30) AS win
+      FROM d, LATERAL (SELECT unnest(generate_series(0, length(text) - 30, 7)) AS i) t),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id),
+dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+       FROM w WHERE win IN (SELECT win FROM dup) GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_windows,
+       CAST(coalesce(dd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       round(CAST(coalesce(dd.n_dup_windows, 0) AS DOUBLE) / tot.n_windows, 4)
+         AS dup_frac
+FROM tot LEFT JOIN dd ON dd.doc_id = tot.doc_id
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1738,6 +1813,7 @@ QUERIES = {
     "q40_graph_rank": (q40_graph_rank, Q40_SQL),
     "q41_importance_weights": (q41_importance_weights, Q41_SQL),
     "q42_sessionize": (q42_sessionize, Q42_SQL),
+    "q43_substring_dup": (q43_substring_dup, Q43_SQL),
 }
 
 
