@@ -164,6 +164,12 @@ def _materialize_files(
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", help="pages parquet path (url,warc_ts,html,text,lang)")
+    ap.add_argument(
+        "--pages-warc",
+        help="read the pages table from .warc.gz archives instead of "
+        "parquet (dir / glob / file; sources/warc.py — the Common-Crawl "
+        "interchange shape)",
+    )
     ap.add_argument("--profile", choices=sorted(PROFILES), help="synthetic web profile")
     ap.add_argument("--seeds", nargs="*", default=None)
     ap.add_argument("--follow", default="+original-domain -depth>3 +requisite")
@@ -295,13 +301,18 @@ def main(argv=None) -> int:
                 robots = RobotsTable.from_rows(
                     webgen.gen_robots_rows(prof), default_budget=args.budget
                 )
-        elif args.pages:
-            pages = read_pages(spark, args.pages)
+        elif args.pages or args.pages_warc:
+            if args.pages:
+                pages = read_pages(spark, args.pages)
+            else:
+                from track0_spark.sources.warc import read_warc
+
+                pages = read_warc(spark, args.pages_warc)
             if not args.seeds and not args.update:
-                ap.error("--seeds required with --pages")
+                ap.error("--seeds required with --pages / --pages-warc")
             seeds = args.seeds
         else:
-            ap.error("one of --pages / --profile required")
+            ap.error("one of --pages / --pages-warc / --profile required")
         if args.robots_parquet:
             rdf = spark.read.parquet(args.robots_parquet)
             has_allow = "allow_prefixes" in rdf.columns
