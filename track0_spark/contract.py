@@ -1770,6 +1770,88 @@ FROM tot LEFT JOIN dd ON dd.doc_id = tot.doc_id
 """
 
 
+def q44_recrawl_schedule(spark, sf):
+    """Change-rate-driven recrawl scheduling — the revisit tier's (S4)
+    missing policy half: WHEN to refetch.  Per key, the Cho &
+    Garcia-Molina 2003 ('Estimating Frequency of Change', public)
+    smoothed estimator over an observation history: with m = n-1
+    sampling intervals and X observed changes, the per-interval change
+    probability is r = -ln((m - X + 0.5)/(m + 0.5)); dividing by the
+    mean sampling gap gives a Poisson change rate, and 1/rate is the
+    refetch due interval.  Here events stands in as the observation
+    log (user_id = page key, event_type = content fingerprint), the
+    exact shape the revisit MERGE keeps per url at scale.
+
+    Scale shape: ONE shuffle — the lag window partitions by key and
+    the per-key agg reuses that partitioning (no second Exchange);
+    everything else is codegen'd double arithmetic.  Keys that never
+    changed get change_rate 0 and a NULL due interval (recrawl at the
+    policy floor) rather than a fabricated rate."""
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("event_type").over(w)
+    o = ev.withColumn(
+        "chg",
+        F.when(prev.isNotNull() & (F.col("event_type") != prev), 1).otherwise(0),
+    )
+    a = (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("chg").cast("bigint").alias("n_changes"),
+            F.min("us").alias("us0"),
+            F.max("us").alias("us1"),
+        )
+        .filter(F.col("n_obs") >= 3)
+    )
+    gap_us = (F.col("us1") - F.col("us0")) / (F.col("n_obs") - 1)
+    gap_s = gap_us / 1000000.0
+    r_hat = -F.log(
+        (F.col("n_obs") - 1 - F.col("n_changes") + 0.5)
+        / (F.col("n_obs") - 1 + 0.5)
+    )
+    return a.select(
+        "user_id",
+        "n_obs",
+        "n_changes",
+        F.round(gap_s, 6).alias("avg_gap_s"),
+        F.round(r_hat / gap_s * 86400.0, 8).alias("change_rate_per_day"),
+        F.when(F.col("n_changes") > 0, F.round(gap_s / r_hat, 4)).alias(
+            "due_in_s"
+        ),
+    )
+
+
+Q44_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, event_type, us,
+        CASE WHEN lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY us, event_id) IS NOT NULL
+          AND event_type <> lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY us, event_id)
+        THEN 1 ELSE 0 END AS chg FROM e),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        CAST(sum(chg) AS BIGINT) AS n_changes,
+        min(us) AS us0, max(us) AS us1
+      FROM o GROUP BY user_id HAVING count(*) >= 3)
+SELECT user_id, n_obs, n_changes,
+  round(((us1 - us0) / (n_obs - 1)) / 1000000.0, 6) AS avg_gap_s,
+  round(-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+        / (((us1 - us0) / (n_obs - 1)) / 1000000.0) * 86400.0, 8)
+    AS change_rate_per_day,
+  CASE WHEN n_changes > 0 THEN
+    round((((us1 - us0) / (n_obs - 1)) / 1000000.0)
+          / (-ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))), 4)
+  END AS due_in_s
+FROM a
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1814,6 +1896,7 @@ QUERIES = {
     "q41_importance_weights": (q41_importance_weights, Q41_SQL),
     "q42_sessionize": (q42_sessionize, Q42_SQL),
     "q43_substring_dup": (q43_substring_dup, Q43_SQL),
+    "q44_recrawl_schedule": (q44_recrawl_schedule, Q44_SQL),
 }
 
 
