@@ -181,6 +181,20 @@ def main() -> int:
             spark.sql(f"DROP TABLE {t}")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # Sitemap seed expansion: the url rlike prune sits on the scan, the
+    # <loc> extraction is native regexp (no UDF anywhere), and the
+    # index recursion's semi-joins are broadcast.
+    from track0_spark.operators.sitemap import sitemap_seeds
+
+    sections.append(
+        (
+            "Sitemap seed expansion (pushable url-pattern prune, native "
+            "regexp_extract_all <loc> extraction, sitemapindex recursion "
+            "as broadcast semi-joins; zero Python UDFs)",
+            grab(sitemap_seeds(pages)),
+        )
+    )
+
     for name in (
         "q01_agg_metrics",
         "q13_multi_join",
@@ -193,6 +207,8 @@ def main() -> int:
         "q37_decontaminate_ngrams",
         "q41_importance_weights",
         "q42_sessionize",
+        "q43_substring_dup",
+        "q44_recrawl_schedule",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))
