@@ -150,3 +150,66 @@ def test_warc_crawl_source_equivalence(spark, web_rows, tmp_path):
     mem = log_rows(pages_from_rows(spark, web_rows), str(tmp_path / "c1"))
     warc = log_rows(read_warc(spark, out), str(tmp_path / "c2"))
     assert mem == warc
+
+
+def test_warc_cdx_index_and_point_fetch(spark, web_rows, tmp_path):
+    """The CDX sidecar frames every record's gzip member: a point
+    lookup reads ONE member by (offset, length) and reproduces the
+    page exactly — no archive scan."""
+    from track0_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc_index,
+    )
+
+    pages = pages_from_rows(spark, web_rows).repartition(4)
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    idx = read_warc_index(spark, out)
+    assert idx.count() == 2 * len(web_rows)  # response + conversion each
+
+    want = sorted(r["url"] for r in pages.select("url").collect())[:7]
+    got = fetch_warc_records(
+        spark, idx.filter(idx["url"].isin(want))
+    )
+    exp = pages.filter(pages["url"].isin(want))
+    assert _rowset(got) == _rowset(exp)
+
+
+def test_warc_index_offsets_frame_valid_members(spark, web_rows, tmp_path):
+    """Raw seek/read at every indexed (offset, length) yields a
+    standalone gzip member containing exactly one WARC record."""
+    from track0_spark.sources.warc import read_warc_index
+
+    pages = pages_from_rows(spark, web_rows).coalesce(1)
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    rows = read_warc_index(spark, out).orderBy("offset").collect()[:20]
+    with open(rows[0]["path"], "rb") as f:
+        for r in rows:
+            f.seek(r["offset"])
+            data = gzip.decompress(f.read(r["length"]))
+            assert data.startswith(b"WARC/1.1\r\n")
+            assert f"WARC-Target-URI: {r['url']}".encode() in data
+
+
+def test_warc_response_only_point_fetch(spark, web_rows, tmp_path):
+    """Fetching just the response member yields html with null
+    text/lang — the raw-archive (no-WET) lookup."""
+    from track0_spark.sources.warc import (
+        fetch_warc_records,
+        read_warc_index,
+    )
+
+    pages = pages_from_rows(spark, web_rows).repartition(2)
+    out = str(tmp_path / "warc")
+    write_warc(pages, out)
+    idx = read_warc_index(spark, out)
+    one_url = pages.select("url").collect()[0]["url"]
+    got = fetch_warc_records(
+        spark,
+        idx.filter((idx["url"] == one_url) & (idx["kind"] == "response")),
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["text"] is None and got[0]["lang"] is None
+    exp = pages.filter(pages["url"] == one_url).collect()[0]
+    assert bytes(got[0]["html"]) == bytes(exp["html"])

@@ -147,7 +147,9 @@ def _page_records(
     return out
 
 
-def write_warc(pages: DataFrame, out_dir: str) -> list[dict]:
+def write_warc(
+    pages: DataFrame, out_dir: str, index: bool = True
+) -> list[dict]:
     """Export a pages-shaped DataFrame as ``part-NNNNN.warc.gz`` files.
 
     Executor-side streaming write (one file per partition, member per
@@ -156,9 +158,22 @@ def write_warc(pages: DataFrame, out_dir: str) -> list[dict]:
     resolved to an absolute path on the DRIVER before the closure is
     built — executors must not re-resolve a relative path against
     their own cwd (ADVICE r3, jobs/crawl.py lesson).
+
+    With ``index=True`` each task also writes a CDX-style record index
+    under ``out_dir/index/`` — one parquet row per record:
+    ``(url, warc_ts, kind, path, offset, length)`` where offset/length
+    frame the record's own gzip member.  This is the Common-Crawl
+    access pattern (their CDXJ index serves exactly these fields) and
+    what makes a 100 TB archive point-addressable: a lookup reads ONE
+    gzip member by byte range instead of scanning archives — see
+    ``fetch_warc_records``.
     """
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+
+    idx_dir = os.path.join(out_dir, "index")
+    if index:
+        os.makedirs(idx_dir, exist_ok=True)
 
     def _write(batches) -> Iterator:
         import pandas as pd
@@ -169,6 +184,7 @@ def write_warc(pages: DataFrame, out_dir: str) -> list[dict]:
         path = os.path.join(out_dir, fname)
         n = 0
         f = None
+        idx: list[tuple] = []  # (url, ts, kind, offset, length)
         for pdf in batches:
             if f is None:
                 f = open(path + ".tmp", "wb")
@@ -176,15 +192,38 @@ def write_warc(pages: DataFrame, out_dir: str) -> list[dict]:
             for url, ts, html, text, lang in zip(
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
             ):
-                for rec in _page_records(
-                    url, ts.to_pydatetime(), html, text, lang
+                pyts = ts.to_pydatetime()
+                for kind, rec in zip(
+                    ("response", "conversion"),
+                    _page_records(url, pyts, html, text, lang),
                 ):
+                    off = f.tell()
                     f.write(_gz_member(rec))
+                    idx.append((url, pyts, kind, off, f.tell() - off))
                 n += 1
         if f is None:  # empty partition: no file
             return
         f.close()
         os.replace(path + ".tmp", path)  # no torn .warc.gz visible
+        if index:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ipath = os.path.join(idx_dir, f"part-{pid:05d}.parquet")
+            tbl = pa.table(
+                {
+                    "url": [r[0] for r in idx],
+                    "warc_ts": pa.array(
+                        [r[1] for r in idx], type=pa.timestamp("us")
+                    ),
+                    "kind": [r[2] for r in idx],
+                    "path": [path] * len(idx),
+                    "offset": pa.array([r[3] for r in idx], type=pa.int64()),
+                    "length": pa.array([r[4] for r in idx], type=pa.int64()),
+                }
+            )
+            pq.write_table(tbl, ipath + ".tmp")
+            os.replace(ipath + ".tmp", ipath)
         yield pd.DataFrame(
             {"path": [path], "n_pages": [n], "bytes": [os.path.getsize(path)]}
         )
@@ -336,3 +375,71 @@ def read_warc(
         [(p,) for p in paths], schema="path string"
     ).repartition(min(par, len(paths)))
     return files.mapInPandas(_read, schema=PAGES)
+
+
+def read_warc_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The CDX-style record index written by ``write_warc(index=True)``:
+    one row per record, ``(url, warc_ts, kind, path, offset, length)``.
+    Plain parquet — filters on ``url`` push down to the scan, so
+    selecting a handful of URLs never reads the full index either."""
+    return spark.read.parquet(os.path.join(os.path.abspath(out_dir), "index"))
+
+
+def fetch_warc_records(spark: SparkSession, index_rows: DataFrame) -> DataFrame:
+    """Point-read pages out of WARC archives via index rows — the
+    random-access path: each task seeks to ``offset``, reads ``length``
+    bytes, and decompresses exactly one gzip member (the CC byte-range
+    access pattern; possible only because the writer frames every
+    record as its own member).
+
+    ``index_rows`` is any subset of ``read_warc_index`` rows (typically
+    the result of a join or an IN filter on url).  Rows are grouped by
+    archive file and read in offset order, so a task issues sequential
+    ranged reads per file.  Response and conversion members of the
+    same capture re-combine into one pages row; selections containing
+    only the response yield ``text/lang`` null.  Output schema: pages.
+    """
+    from pyspark.sql import functions as F
+
+    def _fetch(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, g in pdf.groupby("path", sort=True):
+                with open(path, "rb") as f:
+                    for _, r in g.sort_values("offset").iterrows():
+                        f.seek(int(r["offset"]))
+                        member = f.read(int(r["length"]))
+                        data = gzip.decompress(member)
+                        (headers, payload), = list(
+                            _iter_records(io.BytesIO(data))
+                        )
+                        kind = headers.get("warc-type")
+                        rows.append(
+                            (
+                                headers.get("warc-target-uri", ""),
+                                _parse_ts(headers["warc-date"]),
+                                _http_body(payload) if kind == "response" else None,
+                                payload.decode("utf-8")
+                                if kind == "conversion"
+                                else None,
+                                headers.get("warc-identified-content-language")
+                                if kind == "conversion"
+                                else None,
+                            )
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+
+    parts = index_rows.select(
+        "url", "warc_ts", "kind", "path", "offset", "length"
+    ).repartition("path")
+    raw = parts.mapInPandas(_fetch, schema=PAGES)
+    return raw.groupBy("url", "warc_ts").agg(
+        F.first("html", ignorenulls=True).alias("html"),
+        F.first("text", ignorenulls=True).alias("text"),
+        F.first("lang", ignorenulls=True).alias("lang"),
+    ).select("url", "warc_ts", "html", "text", "lang")
