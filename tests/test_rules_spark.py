@@ -117,3 +117,55 @@ def test_random_pipelines_agree(spark):
             ast = parse_pipeline(p)
             exp = evaluate(ast, attrs, DEFAULTS["follow"])
             assert got[row[0]][f"d{i}"] == exp, (p, attrs)
+
+
+def test_trap_signal_columns_match_python_sweep(spark):
+    """Derived trap signals (path-loop / path-depth / query-params):
+    the native Column folds agree with the Python functions on a
+    deterministic random sweep of adversarial paths/urls — one Spark
+    job for the whole sweep."""
+    import random
+
+    from track0s.rules import path_depth, path_loop, query_params
+    from track0_spark.functions.rules_compile import (
+        path_depth_col,
+        path_loop_col,
+        query_params_col,
+    )
+
+    rng = random.Random(42)
+    segs = ["a", "b", "aa", "x%7E", ".", "idx"]
+    rows = []
+    for i in range(300):
+        path = "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randrange(0, 12))
+        )
+        if rng.random() < 0.3:
+            path += "/"
+        params = "&".join(
+            rng.choice(["a=1", "b=?", "", "c&d" if rng.random() < 0.1 else "e=2"])
+            for _ in range(rng.randrange(0, 6))
+        )
+        url = f"http://h.test{path}" + (f"?{params}" if rng.random() < 0.7 else "")
+        rows.append((str(i), path, url))
+    rows.append(("null-path", None, None))
+    rows.append(("empty", "", ""))
+    df = spark.createDataFrame(
+        rows, "case_id string, path string, url_canon string"
+    )
+    got = {
+        r["case_id"]: (r["pl"], r["pd"], r["qp"])
+        for r in df.select(
+            "case_id",
+            path_loop_col(F.col("path")).alias("pl"),
+            path_depth_col(F.col("path")).alias("pd"),
+            query_params_col(F.col("url_canon")).alias("qp"),
+        ).collect()
+    }
+    for case_id, path, url in rows:
+        exp = (
+            path_loop(path) if path is not None else None,
+            path_depth(path) if path is not None else None,
+            query_params(url) if url is not None else None,
+        )
+        assert got[case_id] == exp, (case_id, path, url)

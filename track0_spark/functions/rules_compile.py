@@ -88,6 +88,52 @@ def reg_domain_col_psl(psl, host_col: str = "host") -> Column:
     )
 
 
+def _segs(col: Column) -> Column:
+    return F.filter(F.split(col, "/"), lambda x: x != "")
+
+
+def path_loop_col(path: Column) -> Column:
+    """Longest consecutive-equal-segment run, as one native HOF fold
+    (JVM-side, no UDF) — the Column twin of ``track0s.rules.path_loop``;
+    null path folds to null, which a rule ``when`` treats as no-match,
+    matching the Python backend's missing-attr rule."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        _segs(path),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def path_depth_col(path: Column) -> Column:
+    return F.size(_segs(path))
+
+
+def query_params_col(url: Column) -> Column:
+    """Non-empty params after the FIRST '?' (0 without a query) —
+    Column twin of ``track0s.rules.query_params``.  Uses a positional
+    substr (not substring_index) so a second '?' inside the query
+    stays part of it, exactly like the Python ``split('?', 1)``."""
+    q = url.substr(
+        F.instr(url, "?") + F.lit(1), F.length(url)
+    )
+    return (
+        F.when(url.isNull(), F.lit(None).cast("int"))  # missing attr: no match
+        .when(url.contains("?"), F.size(F.filter(F.split(q, "&"), lambda x: x != "")))
+        .otherwise(F.lit(0))
+    )
+
+
 def _num_pred(col: Column, op: str, value: int) -> Column:
     if op == "<=":
         return col <= value
@@ -126,6 +172,14 @@ def rule_predicate(
         return pred
     if t == "requisite":
         return F.coalesce(F.col("is_requisite"), F.lit(False))
+    if t == "path-loop":
+        return _num_pred(path_loop_col(F.col("path")), rule.op, rule.value)
+    if t == "path-depth":
+        return _num_pred(path_depth_col(F.col("path")), rule.op, rule.value)
+    if t == "query-params":
+        return _num_pred(
+            query_params_col(F.col("url_canon")), rule.op, rule.value
+        )
     attr = TEST_ATTR[t]
     if t in NUM_TESTS:
         return _num_pred(F.col(attr), rule.op, rule.value)

@@ -43,7 +43,19 @@ BOOL_TESTS = frozenset(
         "requisite",
     }
 )
-NUM_TESTS = frozenset({"depth", "domain-depth", "size"})
+NUM_TESTS = frozenset(
+    {
+        "depth",
+        "domain-depth",
+        "size",
+        # crawler-trap defenses (derived numeric signals; public
+        # heuristics every production crawler ships — infinite
+        # calendar/session-id/symlink-loop spaces):
+        "path-loop",  # longest run of CONSECUTIVE equal path segments
+        "path-depth",  # number of path segments
+        "query-params",  # number of non-empty query parameters
+    }
+)
 STR_TESTS = frozenset({"url", "path", "domain", "protocol", "tag", "content-type"})
 
 NUM_OPS = ("<=", ">=", "<", ">", "=")
@@ -61,6 +73,9 @@ TEST_ATTR = {
     "tag": "src_tag",
     "content-type": "content_type",
     "requisite": "is_requisite",
+    "path-loop": "path",
+    "path-depth": "path",
+    "query-params": "url_canon",
 }
 
 #: Defaults per decision point when no rule matches (normative, §2.3).
@@ -133,6 +148,39 @@ def parse_pipeline(spec: str | list[str]) -> list[Rule]:
     return [parse_rule(t) for t in tokens]
 
 
+def path_segments(path: str | None) -> list[str]:
+    return [s for s in (path or "").split("/") if s]
+
+
+def path_loop(path: str | None) -> int:
+    """Longest run of consecutive equal path segments — the symlink /
+    relative-link trap signal (``/a/a/a/b`` → 3; non-consecutive
+    repeats don't count: ``/a/b/a`` → 1; empty path → 0)."""
+    best = run = 0
+    prev = None
+    for s in path_segments(path):
+        run = run + 1 if s == prev else 1
+        prev = s
+        if run > best:
+            best = run
+    return best
+
+
+def path_depth(path: str | None) -> int:
+    """Number of path segments (``/a/b/c`` → 3)."""
+    return len(path_segments(path))
+
+
+def query_params(url: str | None) -> int:
+    """Number of non-empty ``&``-separated parameters after the FIRST
+    ``?`` (0 when there is no query) — the calendar/faceted-search
+    trap signal."""
+    if url is None or "?" not in url:
+        return 0
+    q = url.split("?", 1)[1]
+    return len([p for p in q.split("&") if p])
+
+
 def _num_cmp(lhs: int, op: str, rhs: int) -> bool:
     if op == "<=":
         return lhs <= rhs
@@ -192,6 +240,15 @@ def rule_matches(rule: Rule, attrs: dict) -> bool:
         )
     if t == "requisite":
         return bool(attrs.get("is_requisite"))
+    if t in ("path-loop", "path-depth"):
+        p = attrs.get("path")
+        if p is None:
+            return False
+        fn = path_loop if t == "path-loop" else path_depth
+        return _num_cmp(fn(p), rule.op, rule.value)
+    if t == "query-params":
+        u = attrs.get("url_canon")
+        return u is not None and _num_cmp(query_params(u), rule.op, rule.value)
     val = attrs.get(TEST_ATTR[t])
     if val is None:
         return False
