@@ -150,3 +150,59 @@ def test_revisit_keys_are_canon_fixpoints(spark):
     for u in ["0 ?", "0 #", "0 ?#", "http://h.test/a ?", "  x y ? "]:
         c = canonicalize(u)
         assert canonicalize(c) == c, u
+
+
+def test_recrawl_schedule_matches_python_twin(spark):
+    """Engine-tier estimator == a direct Python evaluation of the same
+    Cho & Garcia-Molina formula on a 3-regime history (frequent /
+    rare / never changer)."""
+    import datetime as dt
+    import math
+
+    from track0_spark.operators.revisit import due_urls, recrawl_schedule
+
+    t0 = dt.datetime(2024, 1, 1)
+    hist = []
+    # fast: etag changes every observation (hourly)
+    for i in range(6):
+        hist.append(("u_fast", t0 + dt.timedelta(hours=i), f"e{i}"))
+    # slow: one change across 6 daily observations
+    for i in range(6):
+        hist.append(("u_slow", t0 + dt.timedelta(days=i), "a" if i < 4 else "b"))
+    # never: same etag, weekly
+    for i in range(4):
+        hist.append(("u_never", t0 + dt.timedelta(weeks=i), "same"))
+    # too short: filtered out
+    hist.append(("u_short", t0, "x"))
+    hist.append(("u_short", t0 + dt.timedelta(days=1), "y"))
+    df = spark.createDataFrame(
+        hist, "url_canon string, fetch_ts timestamp, etag string"
+    )
+    got = {r["url_canon"]: r for r in recrawl_schedule(df).collect()}
+    assert set(got) == {"u_fast", "u_slow", "u_never"}
+
+    def twin(n, x, span_s):
+        gap = span_s / (n - 1)
+        r = -math.log((n - 1 - x + 0.5) / (n - 1 + 0.5))
+        return gap, r
+
+    # fast: n=6, x=5 changes, span 5h
+    gap, r = twin(6, 5, 5 * 3600)
+    assert got["u_fast"]["n_changes"] == 5
+    assert abs(got["u_fast"]["change_rate_per_day"] - round(r / gap * 86400, 8)) < 1e-6
+    exp_due = t0 + dt.timedelta(hours=5) + dt.timedelta(seconds=gap / r)
+    assert abs((got["u_fast"]["due_at"] - exp_due).total_seconds()) < 0.01
+    # slow: n=6, x=1
+    gap_s_, r_s = twin(6, 1, 5 * 86400)
+    assert got["u_slow"]["n_changes"] == 1
+    # never: rate 0, due NULL
+    assert got["u_never"]["n_changes"] == 0
+    assert got["u_never"]["change_rate_per_day"] == 0.0
+    assert got["u_never"]["due_at"] is None
+    # ordering: the fast changer is due before the slow one
+    assert got["u_fast"]["due_at"] < got["u_slow"]["due_at"]
+
+    # due_urls: as_of just after the fast due date selects only u_fast
+    sched = recrawl_schedule(df)
+    sel = due_urls(sched, exp_due + dt.timedelta(seconds=1)).collect()
+    assert [r["url_canon"] for r in sel] == ["u_fast"]

@@ -109,3 +109,72 @@ def revisit_merge(saved: DataFrame, pages: DataFrame) -> DataFrame:
         .alias("last_modified"),
         "refetch_status",
     )
+
+
+def recrawl_schedule(history: DataFrame) -> DataFrame:
+    """S4's policy half: WHEN to revisit each url, from its own fetch
+    history — the engine-tier twin of contract q44 (same Cho &
+    Garcia-Molina 2003 smoothed change-frequency estimator, same
+    one-shuffle window+agg shape; contract.py:q44 carries the DuckDB
+    oracle for the math).
+
+    ``history``: one row per past fetch — ``(url_canon, fetch_ts
+    timestamp, etag string)`` — i.e. the revisit tier's own artifacts
+    accumulated over runs (etag = md5(html) from with_save_metadata;
+    any content fingerprint works).  Output per url with >= 3
+    observations:
+
+      n_obs, n_changes, avg_gap_s, change_rate_per_day,
+      due_at (timestamp; NULL when no change was ever observed —
+      recrawl at the policy floor, never a fabricated rate)
+
+    where due_at = last fetch + 1/rate (the Poisson mean time to next
+    change).  One hash shuffle: the lag window partitions by url_canon
+    and the aggregation reuses that partitioning.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("fetch_ts").cast("timestamp"))
+    w = Window.partitionBy("url_canon").orderBy("us", "etag")
+    o = history.select("url_canon", us.alias("us"), "etag")
+    prev = F.lag("etag").over(w)
+    o = o.withColumn(
+        "chg",
+        F.when(prev.isNotNull() & (F.col("etag") != prev), 1).otherwise(0),
+    )
+    a = (
+        o.groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("chg").cast("bigint").alias("n_changes"),
+            F.min("us").alias("us0"),
+            F.max("us").alias("us1"),
+        )
+        .filter(F.col("n_obs") >= 3)
+    )
+    gap_s = (F.col("us1") - F.col("us0")) / (F.col("n_obs") - 1) / 1000000.0
+    r_hat = -F.log(
+        (F.col("n_obs") - 1 - F.col("n_changes") + 0.5)
+        / (F.col("n_obs") - 1 + 0.5)
+    )
+    due_us = F.col("us1") + (gap_s / r_hat * 1000000.0).cast("long")
+    return a.select(
+        "url_canon",
+        "n_obs",
+        "n_changes",
+        F.round(gap_s, 6).alias("avg_gap_s"),
+        F.round(r_hat / gap_s * 86400.0, 8).alias("change_rate_per_day"),
+        F.when(
+            F.col("n_changes") > 0, F.timestamp_micros(due_us)
+        ).alias("due_at"),
+    )
+
+
+def due_urls(schedule: DataFrame, as_of) -> DataFrame:
+    """URLs whose next expected change is at or before ``as_of`` —
+    the set a scheduled --update run should refetch.  Never-changed
+    urls (due_at NULL) are excluded; they belong to the caller's
+    policy-floor sweep."""
+    return schedule.filter(
+        F.col("due_at").isNotNull() & (F.col("due_at") <= F.lit(as_of))
+    ).select("url_canon", "due_at")
