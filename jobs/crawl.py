@@ -172,6 +172,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--profile", choices=sorted(PROFILES), help="synthetic web profile")
     ap.add_argument("--seeds", nargs="*", default=None)
+    ap.add_argument(
+        "--seeds-from-sitemaps",
+        action="store_true",
+        help="expand seeds from sitemap.xml documents found in the pages "
+        "archive (operators/sitemap.py), appended to any --seeds",
+    )
     ap.add_argument("--follow", default="+original-domain -depth>3 +requisite")
     ap.add_argument("--save", default="")
     ap.add_argument("--stop", default="")
@@ -308,11 +314,24 @@ def main(argv=None) -> int:
                 from track0_spark.sources.warc import read_warc
 
                 pages = read_warc(spark, args.pages_warc)
-            if not args.seeds and not args.update:
-                ap.error("--seeds required with --pages / --pages-warc")
+            if not args.seeds and not args.update and not args.seeds_from_sitemaps:
+                ap.error(
+                    "--seeds or --seeds-from-sitemaps required with "
+                    "--pages / --pages-warc"
+                )
             seeds = args.seeds
         else:
             ap.error("one of --pages / --pages-warc / --profile required")
+        if args.seeds_from_sitemaps:
+            from track0_spark.operators.sitemap import sitemap_seeds
+
+            seeds = sorted(
+                r["seed_url"]
+                for r in sitemap_seeds(pages).select("seed_url").collect()
+            ) + list(seeds or [])
+            if not seeds and not args.update:
+                ap.error("no sitemap seeds found in the pages archive")
+            print(f"[crawl] {len(seeds)} seeds (incl. sitemap expansion)")
         if args.robots_parquet:
             rdf = spark.read.parquet(args.robots_parquet)
             has_allow = "allow_prefixes" in rdf.columns

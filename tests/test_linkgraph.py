@@ -241,3 +241,51 @@ def test_webgraph_cli_separate_pass(tmp_path, web_rows, oracle_run):
     dranks = pq.read_table(os.path.join(out, "domain_rank")).to_pydict()
     assert len(dranks["domain"]) == summary["n_domains"]
     assert sum(dranks["rank"]) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_budgets_from_rank_quality_biased_crawl(spark, web_rows, tmp_path):
+    """The webgraph feeds back into the scheduler: host_rank-derived
+    politeness budgets bias page throughput toward hub hosts — and
+    because the bias travels through the SHARED RobotsTable config,
+    the Spark crawl stays an exact match of the oracle under it."""
+    from track0s.config import CrawlConfig
+    from track0s.robots import RobotsTable
+    from track0_spark.operators.linkgraph import budgets_from_rank, host_graph
+    from track0_spark.plans.loop import CrawlLoop
+
+    # a fixed host graph with a clear hub (h0 referenced by all)
+    hg = spark.createDataFrame(
+        [
+            ("h1.example.test", "h0.example.test", 8.0),
+            ("h2.example.test", "h0.example.test", 8.0),
+            ("h0.example.test", "h1.example.test", 1.0),
+            ("h1.example.test", "h2.example.test", 1.0),
+        ],
+        "src_host string, dst_host string, w double",
+    )
+    rank = host_rank(hg, iters=5)
+    rows = budgets_from_rank(rank, base_budget=4, min_budget=1, max_budget=8)
+    budgets = {h: b for h, _, _, b in rows}
+    assert budgets["h0.example.test"] > budgets["h2.example.test"]
+    assert min(budgets.values()) >= 1
+
+    robots = RobotsTable.from_rows(rows, default_budget=4)
+    cfg = CrawlConfig.from_specs(
+        webgen.SEEDS,
+        follow="+original-domain -depth>3 +requisite",
+        robots=robots,
+        max_rounds=6,
+    )
+    sp = OracleSpider(cfg, webgen.store_from_rows(web_rows))
+    olog = sp.run()
+    loop = CrawlLoop(
+        spark, cfg, pages_from_rows(spark, web_rows), str(tmp_path / "ckpt")
+    )
+    loop.run()
+    cols = ["round", "fetch_seq", "url_canon", "status"]
+    srows = [
+        tuple(r[c] for c in cols)
+        for r in loop.crawl_log().orderBy("round", "fetch_seq").collect()
+    ]
+    orows = [tuple(r[c] for c in cols) for r in olog]
+    assert srows == orows

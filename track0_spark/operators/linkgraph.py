@@ -239,3 +239,41 @@ def host_components(
     lab = cc.join(ids, cc["node"] == ids["hid"]).select("host", "cluster")
     rep = lab.groupBy("cluster").agg(F.min("host").alias("component"))
     return lab.join(rep, "cluster").select("host", "component")
+
+
+def budgets_from_rank(
+    rank: DataFrame,
+    base_budget: int,
+    min_budget: int = 1,
+    max_budget: int | None = None,
+) -> list[tuple]:
+    """Quality-biased politeness budgets from host centrality — the
+    webgraph pass feeding BACK into the crawl scheduler (the public
+    OPIC / focused-crawling idea expressed through the engine's
+    existing politeness contract).
+
+    Per host: ``budget = clamp(floor(base * rank / mean_rank), min,
+    max)`` — a host of average centrality keeps ``base_budget``; hubs
+    earn proportionally more page-fetches per round, fringe hosts
+    fewer (never below ``min_budget``: politeness budgets defer, and a
+    zero budget would starve a host forever).
+
+    Returns ``RobotsTable.from_rows`` rows ``(host, (), 0.0, budget)``
+    — the SAME artifact both the sequential oracle and the Spark round
+    plan consume, so quality-biased crawls keep exact oracle parity by
+    construction (the bias lives in the shared config, not in either
+    engine).  The rank table is host-cardinality (tiny next to the
+    frontier); the mean is one scalar agg.
+    """
+    mean_rank = rank.agg(F.avg("rank")).collect()[0][0]
+    if not mean_rank:
+        return []
+    rows = rank.select("host", "rank").collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["host"]):
+        b = int(base_budget * r["rank"] / mean_rank)
+        b = max(min_budget, b)
+        if max_budget is not None:
+            b = min(max_budget, b)
+        out.append((r["host"], (), 0.0, b))
+    return out
