@@ -173,6 +173,17 @@ def main(argv=None) -> int:
     ap.add_argument("--profile", choices=sorted(PROFILES), help="synthetic web profile")
     ap.add_argument("--seeds", nargs="*", default=None)
     ap.add_argument(
+        "--robots-from-pages",
+        action="store_true",
+        help="build the robots table from /robots.txt documents archived "
+        "in the pages table (RFC 9309 subset; sources/robots_txt.py)",
+    )
+    ap.add_argument(
+        "--robots-agent",
+        default="*",
+        help="User-agent token for --robots-from-pages group selection",
+    )
+    ap.add_argument(
         "--seeds-from-sitemaps",
         action="store_true",
         help="expand seeds from sitemap.xml documents found in the pages "
@@ -346,6 +357,12 @@ def main(argv=None) -> int:
                 for r in rdf.collect()
             ]
             robots = RobotsTable.from_rows(rows, default_budget=args.budget)
+        elif args.robots_from_pages:
+            from track0_spark.sources.robots_txt import robots_table_rows
+
+            rows = robots_table_rows(pages, agent=args.robots_agent)
+            robots = RobotsTable.from_rows(rows, default_budget=args.budget)
+            print(f"[crawl] robots table from archive: {len(rows)} hosts")
 
         if args.update:
             # S4 revisit: no crawl — conditional-refetch MERGE of the

@@ -78,3 +78,84 @@ class RobotsTable:
                 allow,
             )
         return t
+
+
+def parse_robots_txt(
+    text: str, agent: str = "*"
+) -> tuple[tuple[str, ...], tuple[str, ...], float]:
+    """Parse robots.txt body text (RFC 9309 subset) for one agent ->
+    ``(allow_prefixes, disallow_prefixes, crawl_delay_s)``.
+
+    Group model per the RFC: consecutive ``User-agent`` lines open a
+    group sharing the rules that follow; a ``User-agent`` after rules
+    starts a new group.  Agent selection: if any group names a token
+    contained in ``agent`` (case-insensitive), ONLY those groups
+    apply; otherwise the ``*`` groups do (RFC 9309 §2.2.1 — specific
+    beats wildcard, no merging across specificity levels).  An empty
+    ``Disallow:`` means allow-everything and contributes no prefix.
+    ``Crawl-delay`` is the de-facto extension (not in the RFC, honored
+    by most engines); unparseable values are ignored.  Comments (#)
+    and unknown directives are skipped — parsers must be lenient.
+    """
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        k, v = k.strip().lower(), v.strip()
+        if k == "user-agent":
+            if in_rules:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, in_rules = [], [], False
+            cur_agents.append(v.lower())
+        elif k in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if cur_agents:
+                cur_rules.append((k, v))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    def collect(pred):
+        allow: list[str] = []
+        dis: list[str] = []
+        delay = 0.0
+        found = False
+        for agents, rules in groups:
+            if not any(pred(a) for a in agents):
+                continue
+            found = True
+            for k, v in rules:
+                if k == "allow" and v:
+                    allow.append(v)
+                elif k == "disallow" and v:
+                    dis.append(v)
+                elif k == "crawl-delay":
+                    try:
+                        delay = float(v)
+                    except ValueError:
+                        pass
+        return found, tuple(allow), tuple(dis), delay
+
+    a = agent.lower()
+    found, allow, dis, delay = collect(lambda g: g != "*" and g and g in a)
+    if not found:
+        _, allow, dis, delay = collect(lambda g: g == "*")
+    return allow, dis, delay
+
+
+def robots_table_from_texts(
+    items, agent: str = "*", default_budget: int = DEFAULT_BUDGET
+) -> "RobotsTable":
+    """(host, robots.txt body) pairs -> RobotsTable, via
+    :func:`parse_robots_txt`.  The same table object drives the oracle
+    spider and (as rows) the Spark plan, so archive-derived politeness
+    keeps exact engine parity by construction."""
+    t = RobotsTable(default_budget=default_budget)
+    for host, body in items:
+        allow, dis, delay = parse_robots_txt(body or "", agent)
+        t.policies[host] = HostPolicy(host, dis, delay, default_budget, allow)
+    return t
