@@ -213,3 +213,19 @@ def test_warc_response_only_point_fetch(spark, web_rows, tmp_path):
     assert got[0]["text"] is None and got[0]["lang"] is None
     exp = pages.filter(pages["url"] == one_url).collect()[0]
     assert bytes(got[0]["html"]) == bytes(exp["html"])
+
+
+def test_warc_rewrite_clears_stale_parts(spark, web_rows, tmp_path):
+    """Re-exporting into the same directory with fewer partitions must
+    not leave stale archives or index rows behind."""
+    from track0_spark.sources.warc import read_warc_index
+
+    out = str(tmp_path / "warc")
+    pages = pages_from_rows(spark, web_rows)
+    write_warc(pages.repartition(4), out)
+    assert len(os.listdir(out)) == 5  # 4 parts + index/
+    (s,) = write_warc(pages.coalesce(1), out)
+    parts = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert parts == ["part-00000.warc.gz"]
+    assert read_warc(spark, out).count() == len(web_rows)
+    assert read_warc_index(spark, out).count() == 2 * len(web_rows)

@@ -42,7 +42,12 @@ def robots_rows_from_pages(
     from pyspark.sql import Window
 
     cand = pages.filter(F.col("url").rlike(ROBOTS_URL_RE))
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    # deterministic even when two captures share a timestamp: body
+    # hash breaks the tie (same discipline as every ordering in the
+    # engine — no nondeterministic row wins anywhere)
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").asc()
+    )
     cand = (
         cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

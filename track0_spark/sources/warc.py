@@ -174,6 +174,13 @@ def write_warc(
     idx_dir = os.path.join(out_dir, "index")
     if index:
         os.makedirs(idx_dir, exist_ok=True)
+    # overwrite semantics: a re-export with FEWER partitions must not
+    # leave stale higher-numbered parts (or index rows pointing at
+    # replaced archives) behind — clear prior output on the driver
+    for old in _glob.glob(os.path.join(out_dir, "part-*.warc.gz*")):
+        os.remove(old)
+    for old in _glob.glob(os.path.join(idx_dir, "part-*.parquet*")):
+        os.remove(old)
 
     def _write(batches) -> Iterator:
         import pandas as pd
