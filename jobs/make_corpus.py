@@ -1,43 +1,91 @@
 """Archive → training-corpus pipeline CLI (the LLM-data tier composed
-end to end).
+end to end), with an INCREMENTAL mode for continuous corpus growth.
 
+    # one-shot
     python jobs/make_corpus.py --documents /data/documents.parquet \
         --out /data/corpus --langs en de --min-tokens 5 \
         --near-dup-threshold 0.7 --val-permille 50
+
+    # continuous: each new crawl segment appends only what the corpus
+    # has never seen (exactly + near-duplicate-wise)
+    python jobs/make_corpus.py --documents /data/segment_k.parquet \
+        --out /data/corpus --state /data/corpus_state ...
 
 Chains the engine's training-data operators the way a production
 cleaning job does, each stage an already-tested unit (contract
 q15/q23/q17/q24/q39/q32 carry the oracle checks for the math):
 
-  1. ingest    — documents parquet, or derive documents from a pages /
-                 WARC archive (``--pages`` / ``--pages-warc``:
-                 doc_id = xxhash64(url), text from the archive)
-  2. length    — token-count band filter (textstats)
-  3. language  — keep ``--langs`` (stored lang, or n-gram langid
-                 prediction with ``--langid`` when the column is absent)
-  4. exact     — fingerprint group-by dedup, min doc_id wins
-  5. near-dup  — MinHash-LSH pairs ≥ threshold → connected components
-                 → one keeper (min doc_id) per cluster
-  6. decontam  — optional: drop docs sharing any hashed 13-gram with
-                 ``--benchmark`` texts (q37's semi-join shape)
-  7. split     — deterministic train/val assignment,
-                 pmod(xxhash64(doc_id), 1000) < --val-permille
-  8. write     — parquet partitioned by split, plus ONE JSON line of
-                 per-stage row counts (the auditable funnel).
+  1. ingest      — documents parquet, or derive documents from a pages /
+                   WARC archive (``--pages`` / ``--pages-warc``:
+                   doc_id = xxhash64(url), text from the archive)
+  2. length      — token-count band filter (textstats)
+  3. language    — keep ``--langs`` (stored lang, or n-gram langid
+                   prediction with ``--langid`` when the column is absent)
+  4. exact       — fingerprint group-by dedup, min doc_id wins
+  4b. prior exact— [--state] anti-join the batch's fingerprints against
+                   the PRIOR corpus's fingerprint index: content the
+                   corpus already holds never re-enters (the crawl
+                   tier's seen-set discipline applied to documents)
+  5. near-dup    — MinHash-LSH pairs ≥ threshold → connected components
+                   → one keeper (min doc_id) per cluster
+  5b. prior near — [--state] the keepers' signatures band-join the prior
+                   corpus's MinHash index; a keeper near-duplicating ANY
+                   prior doc drops (prior always wins — global
+                   first-occurrence order across runs)
+  6. decontam    — optional: drop docs sharing any hashed 13-gram with
+                   ``--benchmark`` texts (q37's semi-join shape)
+  7. split       — deterministic train/val assignment,
+                   pmod(xxhash64(doc_id), 1000) < --val-permille
+  8. write       — parquet partitioned by split (overwrite on a first /
+                   stateless run, APPEND on an incremental run), plus
+                   ONE JSON line of per-stage row counts (the funnel)
+  9. state       — [--state] the surviving docs' (fingerprint, doc_id)
+                   and (doc_id, sig) rows land in a NEW numbered run dir
+                   (state/runs/NNNNNN/{fingerprints,signatures}) — an
+                   LSM-style delta, O(new docs) per append, never a
+                   rewrite of the whole index. A run dir missing its
+                   _SUCCESS marker fails LOUDLY at the next read (the
+                   seen-store torn-write discipline; delete the torn dir
+                   to recover).
 
-Every stage is hash-deterministic: re-running the CLI on the same
-input yields byte-identical stage counts and the same keeper set —
-the same reproducibility contract as the crawl (BASELINE.json:14).
+Determinism: a one-shot run is hash-deterministic end to end
+(re-running yields byte-identical stage counts and the same keeper
+set). An incremental re-run of the SAME batch against the same state
+is a no-op by construction — every fingerprint is already in the
+index, so appended == 0 and the state grows by nothing: content-level
+exactly-once. The unavoidable window (a crash between the corpus
+append and the state write re-appends those docs on retry) is the
+same non-transactional gap the seen-store documents; state is written
+LAST so a crash loses no content. doc_id is assumed stable per
+content row (xxhash64(url) for archive ingest); the near-dup index
+only stores banded signatures, so prior-side work per append is one
+hash join on (band, key) — the 10^10-doc corpus index is never
+broadcast, re-signed, or sorted.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob as _glob
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _state_run_dirs(state: str) -> list[str]:
+    """Existing state run dirs, torn-write-checked (loud, like load_seen)."""
+    runs = sorted(_glob.glob(os.path.join(state, "runs", "[0-9]*")))
+    for r in runs:
+        fp = os.path.join(r, "fingerprints")
+        if not os.path.exists(os.path.join(fp, "_SUCCESS")):
+            raise RuntimeError(
+                f"corpus state run torn or incomplete (no _SUCCESS): {fp}; "
+                "a previous append crashed mid-write — delete this run dir "
+                "and re-run the batch that produced it"
+            )
+    return runs
 
 
 def main(argv=None) -> int:
@@ -46,6 +94,11 @@ def main(argv=None) -> int:
     ap.add_argument("--pages", help="derive documents from a pages parquet")
     ap.add_argument("--pages-warc", help="derive documents from .warc.gz archives")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--state",
+        help="corpus dedup-state dir; enables incremental mode: the batch "
+        "dedups against every prior run's index and the output APPENDS",
+    )
     ap.add_argument("--langs", nargs="*", default=None)
     ap.add_argument(
         "--langid",
@@ -68,7 +121,11 @@ def main(argv=None) -> int:
 
     from track0_spark.session import build_spark
     from track0_spark.operators.components import connected_components
-    from track0_spark.operators.dedup import minhash_native_pairs
+    from track0_spark.operators.dedup import (
+        minhash_cross_pairs,
+        minhash_native_pairs,
+        minhash_native_signatures,
+    )
     from track0_spark.operators.textstats import (
         fingerprint_expr,
         langid_scores,
@@ -84,6 +141,9 @@ def main(argv=None) -> int:
     )
     funnel: dict[str, int] = {}
     handles = []
+    prior_runs: list[str] = []
+    if args.state:
+        prior_runs = _state_run_dirs(os.path.abspath(args.state))
     try:
         # 1. ingest
         if args.documents:
@@ -126,19 +186,31 @@ def main(argv=None) -> int:
                 docs = docs.filter(F.col("lang").isin(args.langs))
             funnel["after_language"] = docs.count()
 
-        # 4. exact dedup (min doc_id per fingerprint; hash agg, no sort)
+        # 4. exact dedup (min doc_id per fingerprint; hash agg, no sort);
+        # _fp stays on the rows until the state write
         docs = docs.withColumn("_fp", fingerprint_expr("text"))
         keep = docs.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-        docs = docs.join(keep, ["_fp", "doc_id"], "left_semi").drop("_fp")
+        docs = docs.join(keep, ["_fp", "doc_id"], "left_semi")
+
+        # 4b. prior-corpus exact: content already held never re-enters
+        if prior_runs:
+            prior_fp = spark.read.parquet(
+                *[os.path.join(r, "fingerprints") for r in prior_runs]
+            ).select("_fp")
+            docs = docs.join(prior_fp, "_fp", "left_anti")
         docs = docs.persist()
         handles.append(docs)
         funnel["after_exact_dedup"] = docs.count()
 
-        # 5. near-dup clusters -> keeper per cluster
+        # 5. near-dup clusters -> keeper per cluster; 5b. keepers that
+        # near-duplicate any PRIOR doc drop (prior always wins)
+        sig = None
         if not args.no_near_dup:
+            sig = minhash_native_signatures(docs, "doc_id", "text").persist()
+            handles.append(sig)
             pairs = minhash_native_pairs(
                 docs, "doc_id", "text",
-                threshold=args.near_dup_threshold, handles=handles,
+                threshold=args.near_dup_threshold, signatures=sig,
             )
             cc = connected_components(pairs, "id_a", "id_b")
             drop = cc.filter(F.col("node") != F.col("cluster")).select(
@@ -146,6 +218,29 @@ def main(argv=None) -> int:
             )
             docs = docs.join(drop, "doc_id", "left_anti")
             funnel["after_near_dup"] = docs.count()
+            if prior_runs:
+                sig_dirs = [os.path.join(r, "signatures") for r in prior_runs]
+                missing = [
+                    d
+                    for d in sig_dirs
+                    if not os.path.exists(os.path.join(d, "_SUCCESS"))
+                ]
+                if missing:
+                    raise RuntimeError(
+                        "near-dup enabled but prior state runs lack a "
+                        f"signature index: {missing}; those runs were made "
+                        "with --no-near-dup — rebuild state or pass "
+                        "--no-near-dup"
+                    )
+                prior_sig = spark.read.parquet(*sig_dirs)
+                keeper_sig = sig.join(
+                    docs.select(F.col("doc_id").alias("id")), "id", "left_semi"
+                )
+                hit = minhash_cross_pairs(
+                    keeper_sig, prior_sig, threshold=args.near_dup_threshold
+                ).select(F.col("id_new").alias("doc_id")).distinct()
+                docs = docs.join(hit, "doc_id", "left_anti")
+                funnel["after_prior_near_dup"] = docs.count()
 
         # 6. decontamination (hashed 13-gram semi-join, q37 shape)
         if args.benchmark:
@@ -181,14 +276,43 @@ def main(argv=None) -> int:
                 F.lit("val"),
             ).otherwise(F.lit("train")),
         )
+        # the survivor set is read 3x from here (corpus write, state
+        # fingerprints, state signatures) — pin it so the whole funnel
+        # above runs once
+        docs = docs.persist()
+        handles.append(docs)
+        funnel["appended" if prior_runs else "kept"] = docs.count()
 
-        # 8. write
+        # 8. write (overwrite on first/stateless run, append after)
         out = os.path.abspath(args.out)
-        docs.write.mode("overwrite").partitionBy("split").parquet(out)
+        mode = "append" if prior_runs else "overwrite"
+        docs.drop("_fp").write.mode(mode).partitionBy("split").parquet(out)
         final = spark.read.parquet(out)
         funnel["final"] = final.count()
         funnel["final_val"] = final.filter(F.col("split") == "val").count()
-        print(json.dumps({"out": out, "funnel": funnel}))
+
+        # 9. state delta (LAST: a crash before this point loses no
+        # content, it only re-processes the batch on retry)
+        state_run = None
+        if args.state:
+            state = os.path.abspath(args.state)
+            n = len(prior_runs)
+            state_run = os.path.join(state, "runs", f"{n:06d}")
+            # fingerprints last: its _SUCCESS is the run's commit marker
+            # (_state_run_dirs checks it), so a crash anywhere in this
+            # block leaves a run that fails loudly and is safe to delete
+            if sig is not None:
+                sig.join(
+                    docs.select(F.col("doc_id").alias("id")), "id", "left_semi"
+                ).write.parquet(os.path.join(state_run, "signatures"))
+            docs.select("_fp", "doc_id").write.parquet(
+                os.path.join(state_run, "fingerprints")
+            )
+        print(
+            json.dumps(
+                {"out": out, "funnel": funnel, "state_run": state_run}
+            )
+        )
         return 0
     finally:
         for h in handles:

@@ -91,6 +91,137 @@ def test_output_contracts(spark, corpus):
     assert n_fp == res["funnel"]["final"]
 
 
+def _run_state(out, state, docs_path, *extra):
+    r = subprocess.run(
+        [
+            sys.executable,
+            "jobs/make_corpus.py",
+            "--documents",
+            str(docs_path),
+            "--out",
+            str(out),
+            "--state",
+            str(state),
+            "--langs",
+            "en",
+            "de",
+            "fr",
+            "--min-tokens",
+            "5",
+            "--cores",
+            "4",
+            *extra,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    return r
+
+
+def test_incremental_append(spark, tmp_path):
+    """--state: a second batch dedups against the prior corpus — exact
+    overlaps and near-duplicates of PRIOR docs never re-enter, fresh
+    docs append, and re-running the same batch is a content-level
+    no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators.textstats import fingerprint_expr
+
+    docs = spark.read.parquet(DOCS)
+    ids = sorted(
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+    )
+    b1_ids, b2_ids = set(ids[:30]), set(ids[20:])
+    b1 = docs.filter(F.col("doc_id").isin(b1_ids))
+    p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    b1.write.parquet(p1)
+
+    out, state = tmp_path / "corpus", tmp_path / "state"
+    r1 = _run_state(out, state, p1)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    f1 = json.loads(
+        [ln for ln in r1.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert f1["funnel"]["kept"] > 0
+    assert os.path.exists(
+        os.path.join(state, "runs", "000000", "fingerprints", "_SUCCESS")
+    )
+
+    # near-dup variants of two long EN docs that SURVIVED run 1 (their
+    # signatures are in the prior index): one word appended keeps
+    # almost every 3-shingle, so est_jaccard is far above 0.7
+    donors = (
+        spark.read.parquet(str(out))
+        .filter(
+            (F.col("lang") == "en")
+            & (F.size(F.split(F.trim("text"), r"\s+")) >= 13)
+        )
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    assert len(donors) == 2, "fixture needs two long en docs surviving run 1"
+    variants = spark.createDataFrame(
+        [
+            (1_000_000 + i, d["text"] + " extra", d["lang"], d["source"],
+             d["n_chars"] + 6)
+            for i, d in enumerate(donors)
+        ],
+        schema=docs.schema,
+    )
+    b2 = docs.filter(F.col("doc_id").isin(b2_ids)).unionByName(variants)
+    b2.write.parquet(p2)
+
+    r2 = _run_state(out, state, p2)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    f2 = json.loads(
+        [ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert "after_prior_near_dup" in f2["funnel"]
+    assert 0 < f2["funnel"]["appended"] < f2["funnel"]["ingested"]
+    assert f2["funnel"]["final"] == f1["funnel"]["final"] + f2["funnel"]["appended"]
+    corpus = spark.read.parquet(str(out))
+    got_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    # the near-dup variants of prior docs were rejected by the prior
+    # MinHash index even though nothing in batch 2 duplicates them
+    assert not ({1_000_000, 1_000_001} & got_ids)
+    # no exact duplicates across the two appends
+    n = corpus.count()
+    assert (
+        corpus.select(fingerprint_expr("text").alias("fp")).distinct().count()
+        == n
+    )
+
+    # same batch again: every fingerprint already indexed -> no-op
+    r3 = _run_state(out, state, p2)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    f3 = json.loads(
+        [ln for ln in r3.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert f3["funnel"]["appended"] == 0
+    assert f3["funnel"]["final"] == f2["funnel"]["final"]
+
+
+def test_incremental_torn_state_fails_loudly(spark, tmp_path):
+    """A state run dir without its fingerprints _SUCCESS marker (crash
+    mid-append) must abort the next run, not silently re-admit."""
+    import os
+
+    out, state = tmp_path / "c", tmp_path / "s"
+    r1 = _run_state(out, state, DOCS, "--no-near-dup")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    os.remove(
+        os.path.join(state, "runs", "000000", "fingerprints", "_SUCCESS")
+    )
+    r2 = _run_state(out, state, DOCS, "--no-near-dup")
+    assert r2.returncode != 0
+    assert "torn" in r2.stderr
+
+
 def test_decontamination_drops_benchmark_docs(spark, tmp_path):
     """A benchmark slice made of corpus texts must be fully removed."""
     from pyspark.sql import functions as F

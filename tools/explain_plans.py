@@ -209,6 +209,7 @@ def main() -> int:
         "q42_sessionize",
         "q43_substring_dup",
         "q44_recrawl_schedule",
+        "q45_domain_cap",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))

@@ -1852,6 +1852,69 @@ FROM a
 """
 
 
+def q45_domain_cap(spark, sf):
+    """Per-domain quota balancing (the C4/Gopher-style cap on any one
+    domain's share of the training corpus): within each language, a
+    source may contribute at most cap = max(3, floor(4% of the
+    language's docs)); docs are kept best-first by (n_chars desc,
+    doc_id asc) — a deterministic quality order — and the query
+    reports the per-(lang, source) audit row: total docs, the cap,
+    docs kept, chars kept.  The per-lang cap table is a handful of
+    rows and broadcasts onto the ranked corpus.
+
+    Scale shape: this is the exact audit/verification form — one
+    window sort per (lang, source) group ranks every doc.  At 10^10
+    docs the production variant replaces the full per-group sort with
+    a threshold join: approx_percentile picks each group's cap-th
+    largest n_chars, rows above the threshold keep without ranking,
+    and only the boundary ties rank — same pairing as q35's exact
+    median vs approx_percentile."""
+    d = T(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    caps = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("lang_total"))
+        .select(
+            "lang",
+            F.greatest(
+                F.lit(3), F.floor(F.col("lang_total") * 0.04)
+            ).cast("bigint").alias("cap"),
+        )
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(caps), "lang"
+    )
+    kept = F.col("rn") <= F.col("cap")
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("cap").cast("bigint").alias("cap"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+Q45_SQL = """
+WITH t AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang),
+c AS (SELECT lang,
+             greatest(3, CAST(floor(lang_total * 0.04) AS BIGINT)) AS cap
+      FROM t),
+r AS (SELECT d.lang, d.source, d.n_chars, c.cap,
+             row_number() OVER (PARTITION BY d.lang, d.source
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM documents d JOIN c USING (lang))
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(cap) AS BIGINT) AS cap,
+       CAST(sum(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= cap THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM r GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1897,6 +1960,7 @@ QUERIES = {
     "q42_sessionize": (q42_sessionize, Q42_SQL),
     "q43_substring_dup": (q43_substring_dup, Q43_SQL),
     "q44_recrawl_schedule": (q44_recrawl_schedule, Q44_SQL),
+    "q45_domain_cap": (q45_domain_cap, Q45_SQL),
 }
 
 

@@ -348,12 +348,22 @@ def minhash_native_pairs(
     text_col: str,
     threshold: float = 0.7,
     handles: list | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-expressible MinHash LSH near-dup pairs >= threshold:
-    (id_a, id_b, est_jaccard), est = equal-slot fraction."""
-    sig = minhash_native_signatures(df, id_col, text_col).persist()
-    if handles is not None:
-        handles.append(sig)
+    (id_a, id_b, est_jaccard), est = equal-slot fraction.
+
+    Pass ``signatures`` (an (id, sig) DataFrame from
+    ``minhash_native_signatures``, already persisted by the caller) to
+    reuse signatures computed once across several consumers — e.g. the
+    incremental corpus job bands the same signatures within-batch AND
+    against the prior corpus index."""
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_native_signatures(df, id_col, text_col).persist()
+        if handles is not None:
+            handles.append(sig)
     # exclude no-shingle docs from banding (EMPTY_SIG = MOD is
     # unreachable by any real minimum, so the test is exact): they all
     # share the sentinel signature, which would otherwise band-join
@@ -372,6 +382,59 @@ def minhash_native_pairs(
     )
     est = minhash_estimated_similarity(sig, pairs)
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_cross_pairs(
+    sig_new: DataFrame, sig_prior: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup pairs BETWEEN two signature sets — the incremental
+    corpus shape: every new-batch doc is checked against the PRIOR
+    corpus's persisted MinHash index, never new-vs-new (that is the
+    within-batch job's work) and never prior-vs-prior (already
+    resolved when the prior corpus was built).
+
+    -> (id_new, id_prior, est_jaccard >= threshold).  Band keys of the
+    new batch hash-join the prior index's band keys (the prior side at
+    10^10 docs is the big one: it stays partitioned by (band, key) on
+    disk and is never broadcast or re-signed; each append only signs
+    and shuffles the delta).  Estimated Jaccard = equal-slot fraction,
+    same estimator as the within-batch path."""
+    keys = F.expr(_band_keys_expr())
+    bn = sig_new.filter(F.col("sig")[0] != F.lit(P.EMPTY_SIG)).select(
+        F.col("id").alias("id_new"), F.posexplode(keys).alias("band", "key")
+    )
+    bo = sig_prior.filter(F.col("sig")[0] != F.lit(P.EMPTY_SIG)).select(
+        F.col("id").alias("id_prior"), F.posexplode(keys).alias("band", "key")
+    )
+    # narrow (id, band, key) rows through the join + distinct; the fat
+    # 64-slot signatures join back onto the deduplicated candidates
+    cand = bn.join(bo, ["band", "key"]).select("id_new", "id_prior").distinct()
+    est = (
+        cand.join(
+            sig_new.select(
+                F.col("id").alias("id_new"), F.col("sig").alias("sig_a")
+            ),
+            "id_new",
+        )
+        .join(
+            sig_prior.select(
+                F.col("id").alias("id_prior"), F.col("sig").alias("sig_b")
+            ),
+            "id_prior",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("sig_a"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_new", "id_prior", "est_jaccard"
+    )
 
 
 def simhash_tokens_expr(text_col: str) -> F.Column:
