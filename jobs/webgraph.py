@@ -6,13 +6,16 @@ not logic inside the crawler (operators/linkgraph.py docstring).
     spark-submit --py-files dist/track0s.zip jobs/webgraph.py \
         --ckpt /data/ckpt --pages /data/pages_parquet --out /data/graph
 
-Writes six parquet datasets under --out:
+Writes seven parquet datasets under --out:
     edges/            one row per link occurrence on a fetched page
     host_graph/       weighted (src_host, dst_host, w) projection
     host_rank/        weighted PageRank over the symmetrised host graph
     host_components/  crawl islands (undirected connected components)
     domain_graph/     registered-domain projection (PSL semantics)
     domain_rank/      PageRank over the symmetrised domain graph
+    anchors/          per-target anchor-text profile (top-k texts by
+                      count + inlink total — the IR signal of what
+                      other pages call a url); --anchor-k (0 disables)
 and prints a one-line JSON summary. ``--profile`` synthesises the
 deterministic test web in-memory instead of reading parquet, mirroring
 jobs/crawl.py so the two stages compose in tests (FIXTURES.md §2)."""
@@ -39,12 +42,18 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True, help="output dir for the graph datasets")
     ap.add_argument("--iters", type=int, default=5, help="PageRank power iterations")
     ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument(
+        "--anchor-k", type=int, default=3,
+        help="top-k anchor texts kept per target url (0 skips the pass)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
     if bool(args.pages) == bool(args.profile):
         ap.error("exactly one of --pages / --profile is required")
 
     from track0_spark.operators.linkgraph import (
+        anchor_summary,
+        anchor_texts,
         domain_graph,
         extract_edges,
         host_components,
@@ -92,6 +101,20 @@ def main(argv=None) -> int:
             os.path.join(out, "domain_rank")
         )
 
+        n_anchor_targets = None
+        if args.anchor_k > 0:
+            # a second Arrow parse, but a much lighter one (anchors on
+            # 200 html pages only) — and the anchor profile is optional
+            anchor_summary(anchor_texts(log, pages), k=args.anchor_k).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, "anchors"))
+            n_anchor_targets = (
+                spark.read.parquet(os.path.join(out, "anchors"))
+                .select("dst_url")
+                .distinct()
+                .count()
+            )
+
         n_edges = spark.read.parquet(os.path.join(out, "edges")).count()
         rank = spark.read.parquet(os.path.join(out, "host_rank"))
         n_hosts = rank.count()
@@ -111,6 +134,7 @@ def main(argv=None) -> int:
                     "n_hosts": n_hosts,
                     "n_components": n_components,
                     "n_domains": n_domains,
+                    "n_anchor_targets": n_anchor_targets,
                     "top_hosts": top,
                     "out": out,
                 }

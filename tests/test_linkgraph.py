@@ -123,6 +123,74 @@ def test_postfilter_variant_identical(spark, web_rows, oracle_run):
         extract_edges(log_df, pages, prefilter="bogus")
 
 
+def oracle_anchors(log_rows, store):
+    """Sequential twin of anchor_texts: (src, canonical dst, text) per
+    <a href> on every fetched 200 html page; redirect pages and css
+    contribute nothing (anchors are an html-body signal)."""
+    from track0s.extract import parse_anchors
+
+    out = Counter()
+    for r in log_rows:
+        page = store.get(r["url_canon"])
+        if page is None:
+            continue
+        if redirect_target(page.html):
+            continue
+        ctype = header_content_type(page.html) or mime.content_type_for(
+            canon.path_of(r["url_canon"])
+        )
+        if not mime.is_html(ctype):
+            continue
+        for u, text in parse_anchors(r["url_canon"], decode_html(page.html)):
+            out[(r["url_canon"], canon.canonicalize(u), text)] += 1
+    return out
+
+
+def test_anchor_texts_match_sequential_oracle(spark, web_rows, oracle_run):
+    """Anchor harvesting parity: same resolve_link admission, same
+    decode chain, byte-level text equality as a multiset."""
+    from track0_spark.operators.linkgraph import anchor_texts
+
+    olog, store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    got = Counter(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in anchor_texts(log_df, pages).collect()
+    )
+    exp = oracle_anchors(olog, store)
+    assert got == exp
+    assert sum(exp.values()) > 100
+    assert any(t for (_s, _d, t) in exp)  # fixture anchors carry text
+
+
+def test_anchor_summary_matches_python_twin(spark, web_rows, oracle_run):
+    """Top-k anchor profile per target == the Counter-based twin
+    (count desc, anchor asc; n_inlinks = total occurrences)."""
+    from collections import defaultdict
+
+    from track0_spark.operators.linkgraph import anchor_summary, anchor_texts
+
+    olog, store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    anchors = anchor_texts(log_df, pages)
+    got = {
+        (r["dst_url"], r["anchor"], r["n"], r["rk"], r["n_inlinks"])
+        for r in anchor_summary(anchors, k=3).collect()
+    }
+    per_dst = defaultdict(Counter)
+    for (src, dst, text), c in oracle_anchors(olog, store).items():
+        per_dst[dst][text] += c
+    exp = set()
+    for dst, cnt in per_dst.items():
+        total = sum(cnt.values())
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rk, (text, n) in enumerate(top, start=1):
+            exp.add((dst, text, n, rk, total))
+    assert got == exp
+
+
 def test_domain_graph_matches_python_twin(spark):
     """Registered-domain projection == track0s.canon.registered_domain
     applied row-wise, including a two-level public suffix."""
@@ -241,6 +309,11 @@ def test_webgraph_cli_separate_pass(tmp_path, web_rows, oracle_run):
     dranks = pq.read_table(os.path.join(out, "domain_rank")).to_pydict()
     assert len(dranks["domain"]) == summary["n_domains"]
     assert sum(dranks["rank"]) == pytest.approx(1.0, abs=1e-6)
+    anchors = pq.read_table(os.path.join(out, "anchors")).to_pydict()
+    exp_anchor = oracle_anchors(olog, store)
+    assert summary["n_anchor_targets"] == len({d for _s, d, _t in exp_anchor})
+    assert set(anchors["dst_url"]) == {d for _s, d, _t in exp_anchor}
+    assert max(anchors["rk"]) <= 3
 
 
 def test_budgets_from_rank_quality_biased_crawl(spark, web_rows, tmp_path):

@@ -140,6 +140,90 @@ def extract_edges(
     )
 
 
+def anchor_texts(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
+    """One row per ``<a href>`` occurrence on a fetched 200 html page:
+    (src_url, dst_url, anchor) with dst canonicalized — the classic IR
+    signal (what OTHER pages call a url; anchor-text indexing is how
+    public web search describes pages they never crawled). The parser
+    is ``track0s.extract.parse_anchors`` — the same resolve_link
+    admission policy and decode chain as the crawl's own extract pass,
+    sequential-oracle-checked in test_linkgraph.
+
+    Same physical shape as extract_edges' broadcast variant: fetched
+    keys semi-join the pages scan (fat html never shuffles), effective
+    content-type derived natively (in-band header beats extension
+    guess), one Arrow crossing. Anchors exist only in html — css and
+    redirect parents contribute nothing by construction."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from track0s.canon import canonicalize
+    from track0s.extract import decode_html, parse_anchors
+
+    keys = F.broadcast(crawl_log.select(F.col("url_canon").alias("url")))
+    bodies = (
+        pages.join(keys, "url", "left_semi")
+        .hint("SHUFFLE_HASH")
+        .select("url", "html")
+    )
+    ctype = F.coalesce(
+        header_content_type_expr(F.col("html")),
+        content_type_expr(F.expr("parse_url(url, 'PATH')")),
+    )
+    fetched = (
+        bodies.withColumn("content_type", ctype)
+        .filter(
+            is_html_expr(F.col("content_type"))
+            & redirect_target_expr(F.col("html")).isNull()
+        )
+        .select("url", "html")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src: list[str] = []
+            dst: list[str] = []
+            anc: list[str] = []
+            for u, h in zip(pdf["url"], pdf["html"]):
+                for absu, text in parse_anchors(u, decode_html(bytes(h))):
+                    src.append(u)
+                    dst.append(canonicalize(absu))
+                    anc.append(text)
+            yield pd.DataFrame(
+                {"src_url": src, "dst_url": dst, "anchor": anc},
+                dtype=object,
+            )
+
+    return fetched.mapInPandas(
+        run, "src_url string, dst_url string, anchor string"
+    )
+
+
+def anchor_summary(anchors: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target anchor profile: (dst_url, anchor, n, rk, n_inlinks) —
+    the top-k anchor texts by (count desc, anchor asc) plus the total
+    inlink count. The top-k window runs over the AGGREGATED
+    (dst_url, anchor) counts (|vocabulary| rows, not |edges| rows) and
+    its ``rk <= k`` literal filter is WindowGroupLimit-prunable — the
+    same bounded-sort shape as the per-host politeness queue."""
+    counts = anchors.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n"), F.asc("anchor"))
+    tot = anchors.groupBy("dst_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inlinks")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .join(tot, "dst_url")
+        .select("dst_url", "anchor", "n", "rk", "n_inlinks")
+    )
+
+
 def host_graph(edges: DataFrame) -> DataFrame:
     """Weighted host-level projection: (src_host, dst_host, w)."""
     return (

@@ -159,6 +159,55 @@ def parse_html(base_url: str, html: str) -> tuple[list[ExtractedLink], str]:
     return p.links, "\n".join(p.chunks)
 
 
+class _AnchorParser(_Parser):
+    """_Parser plus per-``<a>`` visible-text capture. Kept as a
+    SEPARATE pass so the byte-identical links/text contract of
+    ``parse_html`` (BASELINE.json per-row invariant) is untouched:
+    anchor harvesting is a corpus-analysis signal, not a crawl-loop
+    input. Nested ``<a>`` is invalid HTML — like browsers, a new
+    ``<a>`` implicitly closes the previous one."""
+
+    def __init__(self, base_url: str):
+        super().__init__(base_url)
+        self.anchors: list[tuple[str, list[str]]] = []
+        self._open: int | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._open = None
+            href = dict(attrs).get("href")
+            if href is not None:
+                absu = resolve_link(self.base, href)
+                if absu is not None:
+                    self.anchors.append((absu, []))
+                    self._open = len(self.anchors) - 1
+        super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._open = None
+        super().handle_endtag(tag)
+
+    def handle_data(self, data):
+        if self._open is not None and self._skip_depth == 0:
+            s = data.strip()
+            if s:
+                self.anchors[self._open][1].append(s)
+        super().handle_data(data)
+
+
+def parse_anchors(base_url: str, html: str) -> list[tuple[str, str]]:
+    """(absolute target url, visible anchor text) per ``<a href>`` in
+    document order — the classic IR relevance signal (what OTHER pages
+    call a url). Target admission is ``resolve_link``, the same policy
+    as every other link path; text chunks join with single spaces
+    (empty string for image-only / empty anchors)."""
+    p = _AnchorParser(base_url)
+    p.feed(html)
+    p.close()
+    return [(u, " ".join(chunks)) for u, chunks in p.anchors]
+
+
 def _css_link(base_url: str, value: str) -> ExtractedLink | None:
     """One css url(...) reference -> requisite link (same filtering as
     the HTML parser's _emit, via the shared resolve_link policy)."""
