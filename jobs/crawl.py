@@ -242,6 +242,31 @@ def main(argv=None) -> int:
         "last-modified MERGE, one row per url) and atomically replace it",
     )
     ap.add_argument(
+        "--history",
+        default=None,
+        help="with --update: parquet dir accumulating one (url_canon, "
+        "fetch_ts, etag) observation per checked url per run — the raw "
+        "material the Cho & Garcia-Molina change-rate estimator "
+        "(operators/revisit.recrawl_schedule) learns refetch intervals "
+        "from",
+    )
+    ap.add_argument(
+        "--due-only",
+        action="store_true",
+        help="with --update --history: conditional-refetch ONLY the urls "
+        "whose estimated next change is due (due_at <= --as-of); "
+        "everything else passes through untouched as refetch_status="
+        "'deferred'. Never-changed and under-observed (<3 runs) urls are "
+        "deferred too — they belong to the plain --update policy-floor "
+        "sweep, never to a fabricated rate",
+    )
+    ap.add_argument(
+        "--as-of",
+        default=None,
+        help="ISO timestamp for --due-only (default: the pages snapshot's "
+        "max warc_ts — 'due as of the data I am holding')",
+    )
+    ap.add_argument(
         "--forget",
         default=None,
         metavar="RULESPEC",
@@ -379,22 +404,87 @@ def main(argv=None) -> int:
                     "(auto-recovery from .tmp/.bak found nothing)"
                 )
             prev = spark.read.parquet(args.saved_out)
+            hist_dir = os.path.abspath(args.history) if args.history else None
+            checked = prev
+            deferred = None
+            if args.due_only:
+                # Cho & Garcia-Molina scheduling: refetch only what the
+                # accumulated history says is due; defer the rest
+                import datetime as _dt
+
+                from track0_spark.operators.revisit import (
+                    due_urls,
+                    recrawl_schedule,
+                )
+
+                if not hist_dir or not os.path.exists(hist_dir):
+                    ap.error("--due-only requires an existing --history dir")
+                history = spark.read.parquet(hist_dir)
+                if args.as_of:
+                    as_of = _dt.datetime.fromisoformat(args.as_of)
+                else:
+                    as_of = pages.agg(
+                        F.max(F.col("warc_ts").cast("timestamp"))
+                    ).collect()[0][0]
+                due = (
+                    due_urls(recrawl_schedule(history), as_of)
+                    .select("url_canon")
+                    # PIN the due set (cut lineage to hist_dir): this
+                    # run appends its own observations to the history
+                    # below, and Spark recaches/recomputes any plan
+                    # reading a path that was written to — without the
+                    # checkpoint the saved-set write would re-derive
+                    # `due` AGAINST THE NEW OBSERVATIONS and silently
+                    # write the pre-merge bytes back (caught by
+                    # test_cli_recrawl). Semantically the pin is
+                    # required anyway: a sweep's refetch decision must
+                    # be a pure function of the history it STARTED with.
+                    .localCheckpoint()
+                )
+                # no broadcast: at 10^10 urls the due set is itself a
+                # big table — shuffle-hash both membership joins
+                due = due.hint("SHUFFLE_HASH")
+                checked = prev.join(due, "url_canon", "left_semi")
+                deferred = prev.join(
+                    due, "url_canon", "left_anti"
+                ).withColumn("refetch_status", F.lit("deferred"))
             # persist: the counts collect and the parquet write would
             # otherwise each execute the full merge (md5 over every
             # body, latest-pick aggregates, join)
-            merged = revisit_merge(prev, pages).persist()
+            merged = revisit_merge(checked, pages)
+            if deferred is not None:
+                merged = merged.unionByName(deferred)
+            merged = merged.persist()
             counts = {
                 r["refetch_status"]: r["n"]
                 for r in merged.groupBy("refetch_status")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            if hist_dir:
+                # one observation per CHECKED url (deferred urls were
+                # not looked at — recording them would teach the
+                # estimator a change rate from data it never saw).
+                # MUST run before the saved-out swap below: `checked`
+                # lazily reads the files the swap replaces. Crash
+                # window (history appended, swap failed, run retried):
+                # one duplicated (url, ts, etag) observation — the lag
+                # detector reads it as a zero-gap non-change, which
+                # only dampens the estimated rate, never fabricates a
+                # change.
+                from track0_spark.operators.revisit import history_delta
+
+                history_delta(checked, pages).write.mode("append").parquet(
+                    hist_dir
+                )
             _write_parquet_recoverable(
                 merged.select("url_canon", "html", "etag", "last_modified"),
                 args.saved_out,
             )
             merged.unpersist()
             out = {"update": counts, "saved_out": args.saved_out}
+            if hist_dir:
+                out["history"] = hist_dir
             if args.mirror_out:
                 out["mirror_files"] = _materialize_files(
                     spark,

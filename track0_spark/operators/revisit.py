@@ -111,6 +111,23 @@ def revisit_merge(saved: DataFrame, pages: DataFrame) -> DataFrame:
     )
 
 
+def history_delta(saved: DataFrame, pages: DataFrame) -> DataFrame:
+    """One observation row per SAVED url present in this snapshot:
+    ``(url_canon, fetch_ts timestamp, etag)`` — the raw material
+    ``recrawl_schedule`` estimates change rates from, appended into
+    the history store by each ``--update --history`` run. URLs gone
+    from the snapshot contribute no observation (absence is not a
+    content state). One narrow semi-join; html never leaves the
+    latest-pick it already needed."""
+    p = latest_unique_pages(pages)
+    keys = saved.select("url_canon")
+    return p.join(keys, "url_canon", "left_semi").select(
+        "url_canon",
+        F.col("warc_ts").cast("timestamp").alias("fetch_ts"),
+        F.col("_etag").alias("etag"),
+    )
+
+
 def recrawl_schedule(history: DataFrame) -> DataFrame:
     """S4's policy half: WHEN to revisit each url, from its own fetch
     history — the engine-tier twin of contract q44 (same Cho &
