@@ -1915,6 +1915,116 @@ FROM r GROUP BY lang, source
 """
 
 
+def q46_funnel_steps(spark, sf):
+    """Ordered funnel analysis (view -> click -> purchase, each step
+    STRICTLY after the previous and within a 2-day conversion window
+    of it) — the sequential-pattern shape event pipelines need beyond
+    q42's gap sessionization. Per user: the first view, the first
+    qualifying click, the first qualifying purchase, and how many
+    steps completed (the 2-day window splits the fixture 54/38/58
+    across steps 1/2/3, so every branch is exercised).
+
+    Scale shape: ONE shuffle. All three steps resolve inside a single
+    (user_id) partitioning — a running min of view-times up to each
+    row (window), a running min of qualifying click-times over the
+    same window spec (same Exchange, same Sort), then one hash agg
+    that reuses the partitioning. No self-joins, no explode; ties are
+    impossible to mis-order (ORDER BY ts, event_id is total)."""
+    W_US = 2 * 86400 * 1000000  # 2-day conversion window
+    ev = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mv = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    o = ev.withColumn(
+        "click_ok",
+        F.when(
+            (F.col("event_type") == "click")
+            & mv.isNotNull()
+            & (F.col("us") > mv)
+            & (F.col("us") <= mv + W_US),
+            F.col("us"),
+        ),
+    )
+    mc = F.min("click_ok").over(w)
+    o = o.withColumn(
+        "purchase_ok",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & mc.isNotNull()
+            & (F.col("us") > mc)
+            & (F.col("us") <= mc + W_US),
+            F.col("us"),
+        ),
+    )
+    a = o.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).alias("view_us"),
+        F.min("click_ok").alias("click_us"),
+        F.min("purchase_ok").alias("purchase_us"),
+    )
+    steps = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .when(F.col("view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return a.select(
+        "user_id",
+        "view_us",
+        "click_us",
+        "purchase_us",
+        steps.cast("int").alias("steps_completed"),
+    )
+
+
+Q46_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+o AS (SELECT user_id, event_id, event_type, us,
+        CASE WHEN event_type = 'click'
+          AND min(CASE WHEN event_type = 'view' THEN us END) OVER w
+            IS NOT NULL
+          AND us > min(CASE WHEN event_type = 'view' THEN us END) OVER w
+          AND us <= min(CASE WHEN event_type = 'view' THEN us END) OVER w
+                     + 172800000000
+        THEN us END AS click_ok
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+p AS (SELECT user_id, event_type, us, click_ok,
+        CASE WHEN event_type = 'purchase'
+          AND min(click_ok) OVER w IS NOT NULL
+          AND us > min(click_ok) OVER w
+          AND us <= min(click_ok) OVER w + 172800000000
+        THEN us END AS purchase_ok
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+a AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS view_us,
+             min(click_ok) AS click_us,
+             min(purchase_ok) AS purchase_us
+      FROM p GROUP BY user_id)
+SELECT user_id, view_us, click_us, purchase_us,
+       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+                 WHEN click_us IS NOT NULL THEN 2
+                 WHEN view_us IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps_completed
+FROM a
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -1961,6 +2071,7 @@ QUERIES = {
     "q43_substring_dup": (q43_substring_dup, Q43_SQL),
     "q44_recrawl_schedule": (q44_recrawl_schedule, Q44_SQL),
     "q45_domain_cap": (q45_domain_cap, Q45_SQL),
+    "q46_funnel_steps": (q46_funnel_steps, Q46_SQL),
 }
 
 
