@@ -210,6 +210,7 @@ def main() -> int:
         "q43_substring_dup",
         "q44_recrawl_schedule",
         "q45_domain_cap",
+        "q46_funnel_steps",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))
