@@ -117,3 +117,42 @@ def test_parse_css_links():
         ("http://x.test/i.png", "css", "url", True),
         ("http://h.test/static/rel/i2.png", "css", "url", True),
     ]
+
+
+def test_parse_anchors_basic_and_nested_markup():
+    from track0s.extract import parse_anchors
+
+    got = parse_anchors(
+        BASE,
+        '<a href="/x">one <b>two</b> three</a>'
+        '<a href="#frag">skipped target</a>'
+        '<a href="/y"><img src="/i.png"></a>'
+        '<a href="/z">first</a><a href="/w">implicit close</a>',
+    )
+    assert got == [
+        ("http://h0.example.test/x", "one two three"),
+        ("http://h0.example.test/y", ""),  # image-only anchor
+        ("http://h0.example.test/z", "first"),
+        ("http://h0.example.test/w", "implicit close"),
+    ]
+
+
+def test_parse_anchors_script_text_skipped():
+    from track0s.extract import parse_anchors
+
+    got = parse_anchors(
+        BASE, '<a href="/x">ok<script>var a = "no";</script> yes</a>'
+    )
+    assert got == [("http://h0.example.test/x", "ok yes")]
+
+
+def test_parse_anchors_unclosed_anchor_capped():
+    """An unclosed <a> must not swallow the whole document: text is
+    hard-capped at ANCHOR_TEXT_CAP chars (shared constant, so the
+    Spark pass and the oracle truncate identically)."""
+    from track0s.extract import ANCHOR_TEXT_CAP, parse_anchors
+
+    html = '<a href="/x">' + ("word " * 10000)
+    (pair,) = parse_anchors(BASE, html)
+    assert pair[0] == "http://h0.example.test/x"
+    assert len(pair[1]) == ANCHOR_TEXT_CAP

@@ -159,6 +159,14 @@ def parse_html(base_url: str, html: str) -> tuple[list[ExtractedLink], str]:
     return p.links, "\n".join(p.chunks)
 
 
+#: per-anchor visible-text cap. A malformed page with an unclosed
+#: ``<a>`` would otherwise accumulate the REST OF THE DOCUMENT as one
+#: anchor's text (fat rows through the whole anchor pipeline); real
+#: anchor texts are tens of chars. The cap lives in the SHARED parser,
+#: so the Spark pass and the sequential oracle truncate identically.
+ANCHOR_TEXT_CAP = 512
+
+
 class _AnchorParser(_Parser):
     """_Parser plus per-``<a>`` visible-text capture. Kept as a
     SEPARATE pass so the byte-identical links/text contract of
@@ -171,6 +179,7 @@ class _AnchorParser(_Parser):
         super().__init__(base_url)
         self.anchors: list[tuple[str, list[str]]] = []
         self._open: int | None = None
+        self._open_len = 0
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
@@ -181,6 +190,7 @@ class _AnchorParser(_Parser):
                 if absu is not None:
                     self.anchors.append((absu, []))
                     self._open = len(self.anchors) - 1
+                    self._open_len = 0
         super().handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
@@ -189,10 +199,15 @@ class _AnchorParser(_Parser):
         super().handle_endtag(tag)
 
     def handle_data(self, data):
-        if self._open is not None and self._skip_depth == 0:
+        if (
+            self._open is not None
+            and self._skip_depth == 0
+            and self._open_len < ANCHOR_TEXT_CAP
+        ):
             s = data.strip()
             if s:
                 self.anchors[self._open][1].append(s)
+                self._open_len += len(s) + 1
         super().handle_data(data)
 
 
@@ -201,11 +216,15 @@ def parse_anchors(base_url: str, html: str) -> list[tuple[str, str]]:
     document order — the classic IR relevance signal (what OTHER pages
     call a url). Target admission is ``resolve_link``, the same policy
     as every other link path; text chunks join with single spaces
-    (empty string for image-only / empty anchors)."""
+    (empty string for image-only / empty anchors), hard-capped at
+    ``ANCHOR_TEXT_CAP`` chars (unclosed-``<a>`` pages must not turn
+    the whole document into one anchor row)."""
     p = _AnchorParser(base_url)
     p.feed(html)
     p.close()
-    return [(u, " ".join(chunks)) for u, chunks in p.anchors]
+    return [
+        (u, " ".join(chunks)[:ANCHOR_TEXT_CAP]) for u, chunks in p.anchors
+    ]
 
 
 def _css_link(base_url: str, value: str) -> ExtractedLink | None:
