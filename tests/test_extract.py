@@ -156,3 +156,25 @@ def test_parse_anchors_unclosed_anchor_capped():
     (pair,) = parse_anchors(BASE, html)
     assert pair[0] == "http://h0.example.test/x"
     assert len(pair[1]) == ANCHOR_TEXT_CAP
+
+
+def test_parse_anchors_targets_subset_of_links():
+    """Invariant across the whole fixture web: every anchor target
+    parse_anchors admits is exactly the set of <a href> links the
+    crawl's own parser admits (same resolve_link policy — the two
+    passes cannot drift)."""
+    from datagen import webgen
+    from track0s.extract import parse_anchors
+
+    checked = 0
+    for r in webgen.gen_pages(webgen.SF_UNIT):
+        html = decode_html(r["html"])
+        anchors = [u for u, _t in parse_anchors(r["url"], html)]
+        a_links = [
+            l.url
+            for l in parse_html(r["url"], html)[0]
+            if l.tag == "a" and l.attr == "href"
+        ]
+        assert anchors == a_links
+        checked += 1
+    assert checked > 100
