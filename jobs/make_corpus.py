@@ -88,6 +88,64 @@ def _state_run_dirs(state: str) -> list[str]:
     return runs
 
 
+def _next_run_dir(state: str, runs: list[str]) -> str:
+    """Next run dir name: max existing number + 1 (NOT len(runs) —
+    compaction replaces many runs with one high-numbered base, and a
+    count-based name would eventually collide with it)."""
+    n = max((int(os.path.basename(r)) for r in runs), default=-1) + 1
+    return os.path.join(state, "runs", f"{n:06d}")
+
+
+def _compact_state(spark, state: str) -> dict:
+    """Merge every run's fingerprint/signature delta into ONE new base
+    run, then delete the old runs — the LSM compaction bounding
+    per-append read fan-in (the seen-store's compact_seen discipline).
+    Crash-safe by ordering: the base commits (fingerprints _SUCCESS
+    last) BEFORE any old dir is removed; a crash in between leaves
+    old + base coexisting, which over-unions harmlessly (membership
+    joins dedup) and the next compaction heals it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    runs = _state_run_dirs(state)
+    if not runs:
+        raise RuntimeError(f"no state runs to compact under {state}")
+    base = _next_run_dir(state, runs)
+    sig_dirs = [
+        d
+        for d in (os.path.join(r, "signatures") for r in runs)
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    if sig_dirs and len(sig_dirs) != len(runs):
+        raise RuntimeError(
+            "state mixes runs with and without signature indexes "
+            f"({len(sig_dirs)}/{len(runs)} have one) — compacting would "
+            "silently shrink near-dup protection; rebuild state "
+            "consistently first"
+        )
+    n_sigs = 0
+    if sig_dirs:
+        sigs = spark.read.parquet(*sig_dirs).dropDuplicates(["id"])
+        sigs.write.parquet(os.path.join(base, "signatures"))
+        n_sigs = spark.read.parquet(os.path.join(base, "signatures")).count()
+    fps = (
+        spark.read.parquet(*[os.path.join(r, "fingerprints") for r in runs])
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    fps.write.parquet(os.path.join(base, "fingerprints"))  # commit marker
+    n_fps = spark.read.parquet(os.path.join(base, "fingerprints")).count()
+    for r in runs:
+        shutil.rmtree(r)
+    return {
+        "compacted_runs": len(runs),
+        "base_run": base,
+        "fingerprints": n_fps,
+        "signatures": n_sigs,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--documents", help="documents parquet (doc_id,text,lang,...)")
@@ -98,6 +156,16 @@ def main(argv=None) -> int:
         "--state",
         help="corpus dedup-state dir; enables incremental mode: the batch "
         "dedups against every prior run's index and the output APPENDS",
+    )
+    ap.add_argument(
+        "--compact-state",
+        action="store_true",
+        help="no ingest: merge every state run's fingerprint/signature "
+        "delta into a single new base run and delete the old run dirs — "
+        "the LSM compaction that bounds per-append read fan-in (same "
+        "discipline as the crawl seen-store's compact_seen). Safe "
+        "mid-crash: the new base commits (fingerprints _SUCCESS) before "
+        "any old dir is removed",
     )
     ap.add_argument("--langs", nargs="*", default=None)
     ap.add_argument(
@@ -139,6 +207,15 @@ def main(argv=None) -> int:
         app_name="make-corpus",
         driver_memory="8g",
     )
+    if args.compact_state:
+        if not args.state:
+            ap.error("--compact-state requires --state")
+        try:
+            out = _compact_state(spark, os.path.abspath(args.state))
+        finally:
+            spark.stop()
+        print(json.dumps({"state": os.path.abspath(args.state), **out}))
+        return 0
     funnel: dict[str, int] = {}
     handles = []
     prior_runs: list[str] = []
@@ -296,8 +373,7 @@ def main(argv=None) -> int:
         state_run = None
         if args.state:
             state = os.path.abspath(args.state)
-            n = len(prior_runs)
-            state_run = os.path.join(state, "runs", f"{n:06d}")
+            state_run = _next_run_dir(state, prior_runs)
             # fingerprints last: its _SUCCESS is the run's commit marker
             # (_state_run_dirs checks it), so a crash anywhere in this
             # block leaves a run that fails loudly and is safe to delete

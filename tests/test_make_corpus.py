@@ -206,6 +206,56 @@ def test_incremental_append(spark, tmp_path):
     assert f3["funnel"]["final"] == f2["funnel"]["final"]
 
 
+def test_compact_state_invariance(spark, tmp_path):
+    """--compact-state merges all run deltas into one base run; dedup
+    behavior is invariant (the same batch still appends nothing), the
+    old run dirs are gone, and the base holds exactly the corpus's
+    fingerprint set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(DOCS)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    p1 = str(tmp_path / "b1.parquet")
+    p2 = str(tmp_path / "b2.parquet")
+    docs.filter(F.col("doc_id").isin(set(ids[:25]))).write.parquet(p1)
+    docs.filter(F.col("doc_id").isin(set(ids[20:]))).write.parquet(p2)
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    r1 = _run_state(out, state, p1)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run_state(out, state, p2)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    rc = subprocess.run(
+        [sys.executable, "jobs/make_corpus.py", "--state", state,
+         "--out", out, "--compact-state", "--cores", "4"],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    res = json.loads(
+        [ln for ln in rc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert res["compacted_runs"] == 2
+    assert res["base_run"].endswith("000002")
+    runs = sorted(os.listdir(os.path.join(state, "runs")))
+    assert runs == ["000002"]
+    # base fingerprint set == the corpus's rows (cross-run dedup made
+    # run fingerprints disjoint, so the merge loses nothing)
+    assert res["fingerprints"] == spark.read.parquet(out).count()
+    assert res["signatures"] > 0
+
+    # same batch against the compacted base: still a content-level no-op
+    r3 = _run_state(out, state, p2)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    f3 = json.loads(
+        [ln for ln in r3.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert f3["funnel"]["appended"] == 0
+    # and the post-compaction append numbering cannot collide
+    assert f3["state_run"].endswith("000003")
+
+
 def test_incremental_torn_state_fails_loudly(spark, tmp_path):
     """A state run dir without its fingerprints _SUCCESS marker (crash
     mid-append) must abort the next run, not silently re-admit."""

@@ -211,6 +211,7 @@ def main() -> int:
         "q44_recrawl_schedule",
         "q45_domain_cap",
         "q46_funnel_steps",
+        "q47_retention_cohorts",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))

@@ -2025,6 +2025,51 @@ FROM a
 """
 
 
+def q47_retention_cohorts(spark, sf):
+    """Daily cohort-retention matrix — the third classic event-table
+    shape after q42's sessions and q46's funnels: users grouped by
+    their first-activity day (the cohort), counted on every later day
+    they were active at all (the fixture spans one month, so daily
+    grain gives a real matrix; production swaps the same arithmetic
+    to /7 for weekly). Days are computed ARITHMETICALLY (days since
+    2024-01-01) rather than via date_trunc so calendar conventions
+    cannot diverge between engines.
+
+    Scale shape: one distinct over (user, day) — the only shuffle
+    wide enough to matter — then a per-user min that is a plain hash
+    agg, a join back on user_id, and a final narrow agg over
+    (cohort, offset): at 10^10 events the distinct is the cost, and
+    it carries two ints per row."""
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    ev = (
+        T(spark, sf, "events")
+        .select("user_id", d.cast("bigint").alias("day"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+Q47_SQL = """
+WITH e AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -2072,6 +2117,7 @@ QUERIES = {
     "q44_recrawl_schedule": (q44_recrawl_schedule, Q44_SQL),
     "q45_domain_cap": (q45_domain_cap, Q45_SQL),
     "q46_funnel_steps": (q46_funnel_steps, Q46_SQL),
+    "q47_retention_cohorts": (q47_retention_cohorts, Q47_SQL),
 }
 
 
