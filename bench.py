@@ -15,6 +15,8 @@ Writes BENCH/BASELINE.md as a side effect. Env knobs:
   SPARK_GRAFT_SF_DIR   contract-query scale dir     (default sf0.1)
   SPARK_GRAFT_CPUS     high parallelism level       (default 32)
   SPARK_GRAFT_BENCH_QUICK=1  tiny web + 1 level     (smoke mode)
+  SPARK_GRAFT_BENCH_ATSCALE=0      skip the at-scale config pass
+  SPARK_GRAFT_BENCH_ATSCALE_TRIALS bracketed (default, at-scale) pairs (default 2)
 """
 
 from __future__ import annotations
