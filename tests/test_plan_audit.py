@@ -61,12 +61,20 @@ FAT_OK = {
 
 
 def _plans(spark):
+    import io
+    from contextlib import redirect_stdout
+
     out = {}
     for name, fn in contract.queries().items():
         if name in EAGER:
             continue
         df = fn(spark, SF)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        # formatted mode: the compact executedPlan().toString() TRUNCATES
+        # scan fields at ~100 chars, silently hiding pushed filters
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = buf.getvalue()
     return out
 
 
@@ -102,6 +110,35 @@ def test_fat_columns_pruned_from_scans(plans):
                 if fat in cols and name not in allowed:
                     offenders.append((name, fat))
     assert not offenders, f"unpruned fat column reads: {offenders}"
+
+
+#: named plan-shape expectations: the physical strategy each query's
+#: docstring PROMISES must actually appear in its plan
+EXPECTED_MARKERS = {
+    "q05_broadcast_join_rev": ["BroadcastHashJoin"],  # dim join broadcasts
+    "q45_domain_cap": ["BroadcastHashJoin"],  # per-lang cap table broadcasts
+    "q02_topk_per_key": ["WindowGroupLimit"],  # rk<=k prunes the sort
+}
+
+
+def test_expected_plan_markers(plans):
+    missing = [
+        (name, m)
+        for name, markers in EXPECTED_MARKERS.items()
+        for m in markers
+        if m not in plans[name]
+    ]
+    assert not missing, f"promised plan shapes missing: {missing}"
+
+
+def test_date_filter_reaches_the_scan(plans):
+    """q14's quarter filter must be IN the parquet scan's PushedFilters
+    (not just a post-scan Filter node) — the claim 'pushdown' makes."""
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plans["q14_date_pushdown"])
+    assert any(
+        "o_orderdate" in s and ("GreaterThanOrEqual" in s or "LessThan" in s)
+        for s in pushed
+    ), f"o_orderdate range not pushed: {pushed}"
 
 
 def test_every_query_has_a_parquet_scan(plans):
