@@ -267,6 +267,16 @@ def main(argv=None) -> int:
         "max warc_ts — 'due as of the data I am holding')",
     )
     ap.add_argument(
+        "--due-from-sitemaps",
+        action="store_true",
+        help="with --update: also refetch every saved url whose freshest "
+        "sitemap <lastmod> in the pages snapshot is newer than its saved "
+        "last_modified — the sitemaps protocol's change signal, usable "
+        "from the first sweep (no history needed); everything not due by "
+        "any enabled signal passes through as refetch_status='deferred'. "
+        "Composes with --due-only (union of both due sets)",
+    )
+    ap.add_argument(
         "--forget",
         default=None,
         metavar="RULESPEC",
@@ -407,6 +417,7 @@ def main(argv=None) -> int:
             hist_dir = os.path.abspath(args.history) if args.history else None
             checked = prev
             deferred = None
+            due_parts = []
             if args.due_only:
                 # Cho & Garcia-Molina scheduling: refetch only what the
                 # accumulated history says is due; defer the rest
@@ -426,9 +437,33 @@ def main(argv=None) -> int:
                     as_of = pages.agg(
                         F.max(F.col("warc_ts").cast("timestamp"))
                     ).collect()[0][0]
-                due = (
+                due_parts.append(
                     due_urls(recrawl_schedule(history), as_of)
                     .select("url_canon")
+                )
+            if args.due_from_sitemaps:
+                # the sitemaps protocol's change signal: a listed url
+                # whose freshest <lastmod> postdates the saved copy
+                from track0_spark.operators.sitemap import sitemap_lastmod
+
+                lm = sitemap_lastmod(pages)
+                due_parts.append(
+                    prev.select("url_canon", "last_modified")
+                    .join(
+                        lm.withColumnRenamed("url", "url_canon"), "url_canon"
+                    )
+                    .filter(
+                        F.col("lastmod")
+                        > F.col("last_modified").cast("timestamp")
+                    )
+                    .select("url_canon")
+                )
+            if due_parts:
+                due = due_parts[0]
+                for p in due_parts[1:]:
+                    due = due.unionByName(p)
+                due = (
+                    due.distinct()
                     # PIN the due set (cut lineage to hist_dir): this
                     # run appends its own observations to the history
                     # below, and Spark recaches/recomputes any plan

@@ -48,6 +48,60 @@ def _snapshot(spark, tmp_path, k, fast_version):
     return path
 
 
+def test_due_from_sitemaps_sweep(spark, tmp_path):
+    """--due-from-sitemaps: a saved url whose sitemap <lastmod>
+    postdates the saved copy is refetched; everything else defers —
+    usable from the FIRST sweep, no history required."""
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators.revisit import with_save_metadata
+    from track0_spark.schemas import PAGES
+    from track0_spark.sources.pages import read_pages
+
+    saved_out = str(tmp_path / "saved.parquet")
+    p0 = _snapshot(spark, tmp_path, 0, fast_version=0)
+    with_save_metadata(
+        read_pages(spark, p0).select(
+            F.col("url").alias("url_canon"), "html", "warc_ts"
+        )
+    ).write.parquet(saved_out)
+
+    sitemap = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://h.test/fast</loc>"
+        f"<lastmod>{(T0 + dt.timedelta(minutes=30)).isoformat()}</lastmod>"
+        "</url>"
+        "<url><loc>http://h.test/slow</loc>"
+        f"<lastmod>{(T0 - dt.timedelta(days=1)).isoformat()}</lastmod>"
+        "</url></urlset>"
+    )
+    ts1 = T0 + dt.timedelta(hours=1)
+    rows = [
+        ("http://h.test/fast", ts1, b"fast-v1", "t", "en"),
+        ("http://h.test/slow", ts1, b"slow-const", "t", "en"),
+        ("http://h.test/a", ts1, b"a-const", "t", "en"),
+        ("http://h.test/b", ts1, b"b-const", "t", "en"),
+        ("http://h.test/sitemap.xml", ts1, sitemap.encode(), "t", "en"),
+    ]
+    p1 = str(tmp_path / "pages_sm.parquet")
+    spark.createDataFrame(rows, schema=PAGES).write.parquet(p1)
+
+    res = _cli(
+        ["--pages", p1, "--update", "--due-from-sitemaps",
+         "--saved-out", saved_out, "--cores", "4"]
+    )
+    # fast: lastmod (T0+30m) > saved last_modified (T0) -> checked,
+    # modified; slow's lastmod is old, a/b unlisted -> all deferred
+    assert res["update"] == {"modified": 1, "deferred": 3}
+    final = {
+        r["url_canon"]: bytes(r["html"])
+        for r in spark.read.parquet(saved_out).collect()
+    }
+    assert final["http://h.test/fast"] == b"fast-v1"
+    assert final["http://h.test/slow"] == b"slow-const"
+
+
 def test_update_history_then_due_only_sweep(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -121,3 +121,32 @@ def test_seeds_drive_a_crawl(spark, tmp_path):
     loop = CrawlLoop(spark, cfg, pages, str(tmp_path / "ckpt"))
     loop.run()
     assert loop.crawl_log().count() > 0
+
+
+def test_sitemap_lastmod_freshest_per_url(spark):
+    """<lastmod> parsing: date-only and full ISO both parse, malformed
+    and missing values drop, the freshest declaration per url wins."""
+    from track0_spark.operators.sitemap import sitemap_lastmod
+
+    body = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://x.test/p/1</loc><lastmod>2024-03-01</lastmod></url>
+  <url>
+    <loc>http://x.test/p/1</loc>
+    <lastmod>2024-04-02T10:30:00Z</lastmod>
+  </url>
+  <url><loc>http://x.test/p/2</loc><lastmod>not-a-date</lastmod></url>
+  <url><loc>http://x.test/p/3</loc></url>
+  <url><loc>http://x.test/a&amp;b</loc><lastmod>2024-01-05</lastmod></url>
+</urlset>"""
+    pages = _pages(
+        spark,
+        [
+            _page("http://x.test/sitemap.xml", body),
+            _page("http://x.test/p/1", "<html>not a sitemap</html>"),
+        ],
+    )
+    got = {r["url"]: r["lastmod"] for r in sitemap_lastmod(pages).collect()}
+    assert set(got) == {"http://x.test/p/1", "http://x.test/a&b"}
+    assert got["http://x.test/p/1"] == dt.datetime(2024, 4, 2, 10, 30)
+    assert got["http://x.test/a&b"] == dt.datetime(2024, 1, 5)

@@ -71,6 +71,48 @@ def _locs(pages: DataFrame) -> DataFrame:
     )
 
 
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_LASTMOD_RE = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def sitemap_lastmod(
+    pages: DataFrame, url_pattern: str = SITEMAP_URL_RE
+) -> DataFrame:
+    """``(url, lastmod)`` — the freshest ``<lastmod>`` the archive's
+    sitemaps declare per listed URL. This is the sitemaps protocol's
+    OTHER half: beyond seeding the frontier, ``<lastmod>`` tells an
+    update sweep what changed without refetching anything — the signal
+    ``--update --due-from-sitemaps`` keys on (the revisit tier's
+    zero-cost complement to the Cho & Garcia-Molina history estimator,
+    which needs >= 3 observed fetches before it can schedule).
+
+    Native end to end: pushable url prune, ``(?s)<url>…</url>`` block
+    explode via regexp_extract_all, per-block loc/lastmod regexps,
+    entity unescape as a replace chain, a lenient timestamp cast
+    (W3C datetime: date-only and full ISO-8601 both parse; malformed
+    values null out and drop), and one max() hash agg per url."""
+    body = F.decode(F.col("html"), "UTF-8")
+    blocks = (
+        pages.filter(F.col("url").rlike(url_pattern))
+        .select(
+            F.explode(
+                F.regexp_extract_all(body, F.lit(_URL_BLOCK_RE), F.lit(1))
+            ).alias("block")
+        )
+    )
+    rows = blocks.select(
+        _xml_unescape(
+            F.regexp_extract(F.col("block"), _LOC_RE, 1)
+        ).alias("url"),
+        # try_to_timestamp, not cast: real-web <lastmod> values are
+        # dirty and a malformed one must drop, not kill the sweep
+        F.try_to_timestamp(
+            F.regexp_extract(F.col("block"), _LASTMOD_RE, 1)
+        ).alias("lastmod"),
+    ).filter((F.col("url") != "") & F.col("lastmod").isNotNull())
+    return rows.groupBy("url").agg(F.max("lastmod").alias("lastmod"))
+
+
 def sitemap_seeds(
     pages: DataFrame,
     url_pattern: str = SITEMAP_URL_RE,
