@@ -443,15 +443,25 @@ def main(argv=None) -> int:
                 )
             if args.due_from_sitemaps:
                 # the sitemaps protocol's change signal: a listed url
-                # whose freshest <lastmod> postdates the saved copy
+                # whose freshest <lastmod> postdates the saved copy.
+                # <loc> values are raw; the saved set is canonical —
+                # canonicalize through the engine's own Arrow stage
+                # (tiny table: one row per sitemap-listed url) or the
+                # join silently misses every non-fixpoint loc
+                from track0_spark.functions.udfs import canon_batches
                 from track0_spark.operators.sitemap import sitemap_lastmod
 
                 lm = sitemap_lastmod(pages)
+                lm = (
+                    lm.mapInPandas(
+                        canon_batches, "url string, url_canon string"
+                    ).join(lm, "url")
+                    .groupBy("url_canon")
+                    .agg(F.max("lastmod").alias("lastmod"))
+                )
                 due_parts.append(
                     prev.select("url_canon", "last_modified")
-                    .join(
-                        lm.withColumnRenamed("url", "url_canon"), "url_canon"
-                    )
+                    .join(lm, "url_canon")
                     .filter(
                         F.col("lastmod")
                         > F.col("last_modified").cast("timestamp")

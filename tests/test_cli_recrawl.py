@@ -69,7 +69,8 @@ def test_due_from_sitemaps_sweep(spark, tmp_path):
     sitemap = (
         '<?xml version="1.0"?>'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-        "<url><loc>http://h.test/fast</loc>"
+        "<url><loc>HTTP://H.TEST/fast#frag</loc>"  # non-fixpoint form:
+        # scheme/host case + fragment must canonicalize before the join
         f"<lastmod>{(T0 + dt.timedelta(minutes=30)).isoformat()}</lastmod>"
         "</url>"
         "<url><loc>http://h.test/slow</loc>"
