@@ -164,6 +164,28 @@ def test_anchor_texts_match_sequential_oracle(spark, web_rows, oracle_run):
     assert any(t for (_s, _d, t) in exp)  # fixture anchors carry text
 
 
+def test_anchor_postfilter_variant_identical(spark, web_rows, oracle_run):
+    """prefilter='none' (parse-all + narrow src semi-join — the
+    full-archive plan where neither html nor the fetched key set is
+    broadcast) emits the SAME anchor multiset."""
+    from track0_spark.operators.linkgraph import anchor_texts
+
+    olog, _store = oracle_run
+    log_df = spark.createDataFrame(olog)
+    pages = pages_from_rows(spark, web_rows)
+    a = Counter(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in anchor_texts(log_df, pages, prefilter="broadcast").collect()
+    )
+    b = Counter(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in anchor_texts(log_df, pages, prefilter="none").collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        anchor_texts(log_df, pages, prefilter="bogus")
+
+
 def test_anchor_summary_matches_python_twin(spark, web_rows, oracle_run):
     """Top-k anchor profile per target == the Counter-based twin
     (count desc, anchor asc; n_inlinks = total occurrences)."""

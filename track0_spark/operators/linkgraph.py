@@ -140,7 +140,9 @@ def extract_edges(
     )
 
 
-def anchor_texts(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
+def anchor_texts(
+    crawl_log: DataFrame, pages: DataFrame, prefilter: str = "broadcast"
+) -> DataFrame:
     """One row per ``<a href>`` occurrence on a fetched 200 html page:
     (src_url, dst_url, anchor) with dst canonicalized — the classic IR
     signal (what OTHER pages call a url; anchor-text indexing is how
@@ -149,11 +151,18 @@ def anchor_texts(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
     admission policy and decode chain as the crawl's own extract pass,
     sequential-oracle-checked in test_linkgraph.
 
-    Same physical shape as extract_edges' broadcast variant: fetched
-    keys semi-join the pages scan (fat html never shuffles), effective
-    content-type derived natively (in-band header beats extension
-    guess), one Arrow crossing. Anchors exist only in html — css and
-    redirect parents contribute nothing by construction."""
+    Two physical shapes, the same split as extract_edges (test-asserted
+    equal): ``prefilter="broadcast"`` semi-joins the pages scan against
+    the fetched key set — right for segment passes where that set
+    broadcasts; ``prefilter="none"`` is the full-archive shape — parse
+    every 200-html page straight off the scan, then semi-join the
+    NARROW anchor rows against crawl_log on src_url (the fat html
+    column never enters any join; at 10^10 fetches the key set is tens
+    of GB and must not broadcast). Either way the effective
+    content-type is derived natively (in-band header beats extension
+    guess) and there is one Arrow crossing. Anchors exist only in
+    html — css and redirect parents contribute nothing by
+    construction."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -161,12 +170,19 @@ def anchor_texts(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
     from track0s.canon import canonicalize
     from track0s.extract import decode_html, parse_anchors
 
-    keys = F.broadcast(crawl_log.select(F.col("url_canon").alias("url")))
-    bodies = (
-        pages.join(keys, "url", "left_semi")
-        .hint("SHUFFLE_HASH")
-        .select("url", "html")
-    )
+    if prefilter == "broadcast":
+        keys = F.broadcast(crawl_log.select(F.col("url_canon").alias("url")))
+        bodies = (
+            pages.join(keys, "url", "left_semi")
+            .hint("SHUFFLE_HASH")
+            .select("url", "html")
+        )
+    elif prefilter == "none":
+        bodies = pages.select("url", "html")
+    else:
+        raise ValueError(
+            f"prefilter must be 'broadcast' or 'none': {prefilter!r}"
+        )
     ctype = F.coalesce(
         header_content_type_expr(F.col("html")),
         content_type_expr(F.expr("parse_url(url, 'PATH')")),
@@ -195,9 +211,16 @@ def anchor_texts(crawl_log: DataFrame, pages: DataFrame) -> DataFrame:
                 dtype=object,
             )
 
-    return fetched.mapInPandas(
+    anchors = fetched.mapInPandas(
         run, "src_url string, dst_url string, anchor string"
     )
+    if prefilter == "none":
+        # the fetched-set filter, applied to the NARROW anchor rows
+        # (three strings) instead of the fat bodies — the same
+        # post-parse join authority as extract_edges' full-archive plan
+        src = crawl_log.select(F.col("url_canon").alias("src_url"))
+        anchors = anchors.join(src.hint("SHUFFLE_HASH"), "src_url", "left_semi")
+    return anchors
 
 
 def anchor_summary(anchors: DataFrame, k: int = 3) -> DataFrame:
