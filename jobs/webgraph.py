@@ -46,6 +46,14 @@ def main(argv=None) -> int:
         "--anchor-k", type=int, default=3,
         help="top-k anchor texts kept per target url (0 skips the pass)",
     )
+    ap.add_argument(
+        "--prefilter", choices=["broadcast", "none"], default="broadcast",
+        help="edge/anchor extraction plan: 'broadcast' semi-joins the "
+        "pages scan against the fetched key set (segment passes); "
+        "'none' is the full-archive shape — parse every extractable "
+        "page, filter the narrow rows post-parse (at 10^10 fetches the "
+        "key set must not broadcast)",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
     if bool(args.pages) == bool(args.profile):
@@ -76,7 +84,7 @@ def main(argv=None) -> int:
             pages = read_pages(spark, args.pages)
 
         out = os.path.abspath(args.out)
-        edges = extract_edges(log, pages)
+        edges = extract_edges(log, pages, prefilter=args.prefilter)
         edges.write.mode("overwrite").parquet(os.path.join(out, "edges"))
         # downstream passes re-read the materialised edges: the Arrow
         # parse runs ONCE; graph/rank/CC iterate on the narrow columnar
@@ -105,7 +113,10 @@ def main(argv=None) -> int:
         if args.anchor_k > 0:
             # a second Arrow parse, but a much lighter one (anchors on
             # 200 html pages only) — and the anchor profile is optional
-            anchor_summary(anchor_texts(log, pages), k=args.anchor_k).write.mode(
+            anchor_summary(
+                anchor_texts(log, pages, prefilter=args.prefilter),
+                k=args.anchor_k,
+            ).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out, "anchors"))
             n_anchor_targets = (
