@@ -378,26 +378,30 @@ def main(argv=None) -> int:
             if not seeds and not args.update:
                 ap.error("no sitemap seeds found in the pages archive")
             print(f"[crawl] {len(seeds)} seeds (incl. sitemap expansion)")
+        # politeness artifacts stay STORAGE-RESIDENT (ADVICE r4 medium):
+        # the per-host rows are handed to the round plan as a DataFrame
+        # and never collected — at the 10^8-host design point a driver
+        # dict would OOM. The sequential oracle (tests) reads the same
+        # parquet via RobotsTable.from_parquet, so parity holds by
+        # construction.
+        robots_df = None
         if args.robots_parquet:
-            rdf = spark.read.parquet(args.robots_parquet)
-            has_allow = "allow_prefixes" in rdf.columns
-            rows = [
-                (
-                    r["host"],
-                    list(r["disallow_prefixes"] or []),
-                    r["crawl_delay_s"],
-                    r["budget_per_round"],
-                    list(r["allow_prefixes"] or []) if has_allow else [],
-                )
-                for r in rdf.collect()
-            ]
-            robots = RobotsTable.from_rows(rows, default_budget=args.budget)
+            robots_df = spark.read.parquet(args.robots_parquet)
         elif args.robots_from_pages:
-            from track0_spark.sources.robots_txt import robots_table_rows
+            from track0_spark.sources.robots_txt import robots_rows_from_pages
 
-            rows = robots_table_rows(pages, agent=args.robots_agent)
-            robots = RobotsTable.from_rows(rows, default_budget=args.budget)
-            print(f"[crawl] robots table from archive: {len(rows)} hosts")
+            robots_path = os.path.join(
+                args.ckpt or tempfile.mkdtemp(prefix="track0s-robots-"),
+                "robots_from_pages.parquet",
+            )
+            robots_rows_from_pages(pages, agent=args.robots_agent).write.mode(
+                "overwrite"
+            ).parquet(robots_path)
+            robots_df = spark.read.parquet(robots_path)
+            print(
+                "[crawl] robots table from archive: "
+                f"{robots_df.count()} hosts -> {robots_path}"
+            )
 
         if args.update:
             # S4 revisit: no crawl — conditional-refetch MERGE of the
@@ -562,6 +566,7 @@ def main(argv=None) -> int:
             gate=args.gate,
             partition_metrics=args.partition_metrics,
             compact_every=args.compact_every,
+            robots_df=robots_df,
         )
         summary = loop.run()
         out = {

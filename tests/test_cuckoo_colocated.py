@@ -179,3 +179,43 @@ def test_cuckoo_colocated_torn_dir_fails_loudly(spark, tmp_path):
     ).withColumn("maybe_seen", F.lit(True))
     with pytest.raises(Exception, match="torn or missing"):
         gate.probe(cand, 0).collect()
+
+
+def test_cuckoo_colocated_delete_rewrite_is_atomic(spark, tmp_path):
+    """ADVICE r4 low regression: delete_distributed must never write
+    over a live bucket file in place — a crash mid-rewrite under a
+    still-valid _SUCCESS marker would leave an undetectable torn file.
+    Pin the mechanism: (a) after a delete, no .inprogress temp remains
+    and every bucket file still parses with the one-row-per-file
+    invariant; (b) a leftover temp from a simulated crash is invisible
+    to probes (the glob matches *.parquet only), so the dir stays
+    readable and heal-able."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from track0_spark.operators.bloom import H64_MASK
+    from track0_spark.operators.cuckoo_colocated import ColocatedCuckooGate
+    from track0s.hashing import h64
+
+    keys = [h64(f"http://a.test/{i}") & H64_MASK for i in range(500)]
+    root = str(tmp_path / "gate")
+    os.makedirs(os.path.join(root, "round_00000"))
+    gate = ColocatedCuckooGate(spark, root, expected_keys=5000)
+    kdf = spark.createDataFrame([(int(k),) for k in keys], "url_h64 long")
+    gate.write_delta(0, kdf)
+
+    removed = gate.delete_distributed(kdf, upto=0)
+    assert removed == len(keys)
+    files = glob.glob(os.path.join(gate.delta_dir(0), "bucket=*", "*"))
+    assert files and not [f for f in files if f.endswith(".inprogress")]
+    for f in files:
+        assert pq.read_table(f).num_rows == 1  # still one row per file
+
+    # (b) simulated crash: a stray temp next to a live file is ignored
+    victim = files[0]
+    with open(victim + ".inprogress", "wb") as fh:
+        fh.write(b"torn")
+    cand = spark.createDataFrame(
+        [(f"u{int(keys[0])}", int(keys[0]))], "url_canon string, url_h64 long"
+    ).withColumn("maybe_seen", F.lit(True))
+    gate.probe(cand, 0).collect()  # must not raise

@@ -359,12 +359,16 @@ def test_budgets_from_rank_quality_biased_crawl(spark, web_rows, tmp_path):
         "src_host string, dst_host string, w double",
     )
     rank = host_rank(hg, iters=5)
-    rows = budgets_from_rank(rank, base_budget=4, min_budget=1, max_budget=8)
-    budgets = {h: b for h, _, _, b in rows}
+    bdf = budgets_from_rank(rank, base_budget=4, min_budget=1, max_budget=8)
+    # storage artifact: the Spark crawl consumes the DataFrame/parquet
+    # directly (never collected); the oracle reads the SAME file.
+    bpath = str(tmp_path / "budgets.parquet")
+    bdf.write.parquet(bpath)
+    robots = RobotsTable.from_parquet(bpath, default_budget=4)
+    budgets = {h: p.budget_per_round for h, p in robots.policies.items()}
     assert budgets["h0.example.test"] > budgets["h2.example.test"]
     assert min(budgets.values()) >= 1
 
-    robots = RobotsTable.from_rows(rows, default_budget=4)
     cfg = CrawlConfig.from_specs(
         webgen.SEEDS,
         follow="+original-domain -depth>3 +requisite",
@@ -374,7 +378,11 @@ def test_budgets_from_rank_quality_biased_crawl(spark, web_rows, tmp_path):
     sp = OracleSpider(cfg, webgen.store_from_rows(web_rows))
     olog = sp.run()
     loop = CrawlLoop(
-        spark, cfg, pages_from_rows(spark, web_rows), str(tmp_path / "ckpt")
+        spark,
+        cfg,
+        pages_from_rows(spark, web_rows),
+        str(tmp_path / "ckpt"),
+        robots_df=spark.read.parquet(bpath),
     )
     loop.run()
     cols = ["round", "fetch_seq", "url_canon", "status"]
@@ -384,3 +392,56 @@ def test_budgets_from_rank_quality_biased_crawl(spark, web_rows, tmp_path):
     ]
     orows = [tuple(r[c] for c in cols) for r in olog]
     assert srows == orows
+
+
+def test_budgets_from_rank_never_materializes_on_driver(spark, tmp_path):
+    """ADVICE r4 medium regression: at 10^5 synthetic hosts (the shape
+    class where the old list-returning collect would already hurt, and
+    a 10^8-host driver OOM at the design point), building the budgets
+    DataFrame AND the round plan consuming it runs ZERO Spark jobs —
+    the per-host rows exist only as a lazy plan until written/joined."""
+    from pyspark.sql import functions as F
+
+    from track0s.config import CrawlConfig
+    from track0_spark.operators.linkgraph import budgets_from_rank
+    from track0_spark.plans.round import RoundPlanner
+
+    rank = spark.range(100_000).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".test")).alias("host"),
+        ((F.col("id") % 97) + 1).cast("double").alias("rank"),
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("budgets-lazy", "must stay lazy")
+    try:
+        bdf = budgets_from_rank(rank, base_budget=4, min_budget=1, max_budget=64)
+        cfg = CrawlConfig.from_specs(["http://h0.test/"], max_rounds=1)
+        pages = spark.createDataFrame(
+            [("http://h0.test/", b"")], "url string, html binary"
+        )
+        RoundPlanner(spark, cfg, pages, robots_df=bdf)
+        assert sc.statusTracker().getJobIdsForGroup("budgets-lazy") == []
+    finally:
+        sc.setJobGroup(None, None)
+
+    # the artifact itself is correct at scale: clamp bounds hold, budget
+    # is monotone in rank, every host present exactly once
+    bpath = str(tmp_path / "budgets100k.parquet")
+    bdf.write.parquet(bpath)
+    chk = spark.read.parquet(bpath)
+    agg = chk.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("host").alias("nh"),
+        F.min("budget_per_round").alias("lo"),
+        F.max("budget_per_round").alias("hi"),
+    ).collect()[0]
+    assert agg["n"] == 100_000 and agg["nh"] == 100_000
+    assert agg["lo"] >= 1 and agg["hi"] <= 64
+    two = {
+        r["rank"]: r["b"]
+        for r in chk.join(rank, "host")
+        .filter(F.col("rank").isin(1.0, 97.0))
+        .select("rank", F.col("budget_per_round").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert two[97.0] > two[1.0]

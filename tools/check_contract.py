@@ -22,12 +22,19 @@ TABLES = (
 
 
 def norm(v):
+    """Driver-grade normalization (VERDICT r4 #2 / ADVICE r4): floats
+    compare by full repr (bit-level for doubles — repr round-trips),
+    NOT a 6-significant-digit format. The %.6g version let the q01/q05
+    float-sum ulp regression pass 47/47 locally while the driver's
+    exact hash saw 45/47. Queries whose contract *specifies* rounding
+    do their own round(,N) on both engines before this sees the value,
+    so no per-query tolerance exceptions are needed here."""
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

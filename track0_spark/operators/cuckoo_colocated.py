@@ -320,7 +320,12 @@ class ColocatedCuckooGate:
                 t = t.set_column(
                     idx, "tbl", pa.array([tbl.tobytes()], pa.binary())
                 )
-                pq.write_table(t, path)
+                # atomic swap (ADVICE r4 low): a crash mid-write must
+                # not leave a torn file under a dir whose _SUCCESS
+                # marker still validates — write beside, rename over
+                tmp = path + ".inprogress"
+                pq.write_table(t, tmp)
+                os.replace(tmp, path)
             return pd.DataFrame({"bucket": [b], "removed": [removed]})
 
         rows = (

@@ -353,7 +353,7 @@ def budgets_from_rank(
     base_budget: int,
     min_budget: int = 1,
     max_budget: int | None = None,
-) -> list[tuple]:
+) -> DataFrame:
     """Quality-biased politeness budgets from host centrality — the
     webgraph pass feeding BACK into the crawl scheduler (the public
     OPIC / focused-crawling idea expressed through the engine's
@@ -365,22 +365,32 @@ def budgets_from_rank(
     fewer (never below ``min_budget``: politeness budgets defer, and a
     zero budget would starve a host forever).
 
-    Returns ``RobotsTable.from_rows`` rows ``(host, (), 0.0, budget)``
-    — the SAME artifact both the sequential oracle and the Spark round
-    plan consume, so quality-biased crawls keep exact oracle parity by
-    construction (the bias lives in the shared config, not in either
-    engine).  The rank table is host-cardinality (tiny next to the
-    frontier); the mean is one scalar agg.
+    Returns a **DataFrame in the ROBOTS schema**, computed entirely
+    with native Column arithmetic: the mean is one scalar agg joined
+    back as a broadcast literal row, the clamp is greatest/least. No
+    per-host row ever reaches the driver (ADVICE r4 medium: the old
+    list-returning version collected the whole rank table — fine at
+    200 hosts, a driver OOM at the 10^8-host design point). Write it
+    out as a parquet artifact; the round plan broadcast-joins it via
+    ``RoundPlanner(robots_df=...)`` and the sequential oracle reads the
+    SAME parquet (``RobotsTable.from_parquet``), so quality-biased
+    crawls keep exact oracle parity by construction — the bias lives in
+    the shared storage artifact, not in either engine.
     """
-    mean_rank = rank.agg(F.avg("rank")).collect()[0][0]
-    if not mean_rank:
-        return []
-    rows = rank.select("host", "rank").collect()
-    out = []
-    for r in sorted(rows, key=lambda r: r["host"]):
-        b = int(base_budget * r["rank"] / mean_rank)
-        b = max(min_budget, b)
-        if max_budget is not None:
-            b = min(max_budget, b)
-        out.append((r["host"], (), 0.0, b))
-    return out
+    mean = F.broadcast(rank.agg(F.avg("rank").alias("_mean")))
+    b = F.floor(F.lit(base_budget) * F.col("rank") / F.col("_mean")).cast("int")
+    b = F.greatest(F.lit(min_budget), b)
+    if max_budget is not None:
+        b = F.least(F.lit(max_budget), b)
+    empty = F.array().cast("array<string>")
+    return (
+        rank.crossJoin(mean)
+        .filter(F.col("_mean") > 0)
+        .select(
+            F.col("host"),
+            empty.alias("disallow_prefixes"),
+            F.lit(0.0).alias("crawl_delay_s"),
+            b.alias("budget_per_round"),
+            empty.alias("allow_prefixes"),
+        )
+    )

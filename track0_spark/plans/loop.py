@@ -50,6 +50,7 @@ class CrawlLoop:
         bloom_expected_keys: int = 2_000_000,
         compact_every: int = 0,
         gate: str = "bloom",
+        robots_df=None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -58,7 +59,9 @@ class CrawlLoop:
         # round is pure fixed cost. At the 10^10 design point this is
         # instead Iceberg bucket pruning — only the batch's url buckets
         # are read per round (SURVEY.md §4 join-strategy row).
-        self.planner = RoundPlanner(spark, cfg, pages, salt=salt)
+        self.planner = RoundPlanner(
+            spark, cfg, pages, salt=salt, robots_df=robots_df
+        )
         self.planner.pages = self.planner.pages.persist()
         self.store = SnapshotStore(spark, store_root)
         self.partition_metrics = partition_metrics

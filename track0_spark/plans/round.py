@@ -62,6 +62,7 @@ class RoundPlanner:
         cfg: CrawlConfig,
         pages: DataFrame,
         salt: int = 0,
+        robots_df: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -82,19 +83,39 @@ class RoundPlanner:
         self.stop_col = compile_rules(
             cfg.stop, DEFAULTS["stop"], hosts, prefixes, psl=cfg.psl
         )
-        self.robots_df = spark.createDataFrame(
-            [
+        if robots_df is not None:
+            # storage-resident politeness artifact (budgets_from_rank /
+            # robots_rows_from_pages parquet): consumed as a DataFrame,
+            # never collected — at the 10^8-host design point the
+            # per-host rows must not transit the driver (ADVICE r4).
+            # The sequential oracle reads the SAME file via
+            # RobotsTable.from_parquet, preserving parity by
+            # construction.
+            cols = {f.name for f in ROBOTS.fields}
+            missing = cols - set(robots_df.columns)
+            sel = [
                 (
-                    p.host,
-                    list(p.disallow_prefixes),
-                    p.crawl_delay_s,
-                    p.budget_per_round,
-                    list(p.allow_prefixes),
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name not in missing
+                    else F.lit(None).cast(f.dataType).alias(f.name)
                 )
-                for p in cfg.robots.policies.values()
-            ],
-            schema=ROBOTS,
-        )
+                for f in ROBOTS.fields
+            ]
+            self.robots_df = robots_df.select(*sel)
+        else:
+            self.robots_df = spark.createDataFrame(
+                [
+                    (
+                        p.host,
+                        list(p.disallow_prefixes),
+                        p.crawl_delay_s,
+                        p.budget_per_round,
+                        list(p.allow_prefixes),
+                    )
+                    for p in cfg.robots.policies.values()
+                ],
+                schema=ROBOTS,
+            )
         self._build_static_exprs()
 
     def _build_static_exprs(self) -> None:

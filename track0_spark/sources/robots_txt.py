@@ -87,9 +87,13 @@ def robots_rows_from_pages(
 
 
 def robots_table_rows(pages: DataFrame, agent: str = "*") -> list[tuple]:
-    """Collected ``RobotsTable.from_rows`` rows (host-cardinality —
-    the same size class every robots source in this engine collects
-    and broadcasts)."""
+    """Collected ``RobotsTable.from_rows`` rows — ORACLE/TEST TIER ONLY
+    (ADVICE r4 medium): the single-process reference spider needs the
+    table in memory by definition, so tests use this to hand it the
+    same rows the engine sees. The Spark engine itself must NOT call
+    this — the crawl CLI writes ``robots_rows_from_pages`` to parquet
+    and passes the DataFrame straight to ``RoundPlanner(robots_df=...)``
+    (never collected; 10^8-host safe)."""
     return [
         (
             r["host"],

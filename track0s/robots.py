@@ -63,6 +63,35 @@ class RobotsTable:
         return self.policy(host).budget_per_round
 
     @staticmethod
+    def from_parquet(path: str, default_budget: int = DEFAULT_BUDGET) -> "RobotsTable":
+        """Load a ROBOTS-schema parquet artifact (budgets_from_rank /
+        robots_rows_from_pages output) into the SINGLE-PROCESS oracle's
+        table. This is the oracle/test-tier mirror of the storage
+        artifact: the Spark engine never materializes these rows on the
+        driver (it passes the DataFrame straight to RoundPlanner via
+        ``robots_df=``); the sequential reference spider is by
+        definition one process, so holding the table in memory here is
+        its contract, not a scale bug. Both engines reading the same
+        file is what keeps quality-biased crawls parity-by-construction.
+        """
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        names = tbl.column_names
+        cols = {n: tbl.column(n).to_pylist() for n in names}
+        rows = [
+            (
+                cols["host"][i],
+                cols["disallow_prefixes"][i] or (),
+                cols["crawl_delay_s"][i] or 0.0,
+                cols["budget_per_round"][i],
+                (cols.get("allow_prefixes") or [None] * tbl.num_rows)[i] or (),
+            )
+            for i in range(tbl.num_rows)
+        ]
+        return RobotsTable.from_rows(rows, default_budget=default_budget)
+
+    @staticmethod
     def from_rows(rows, default_budget: int = DEFAULT_BUDGET) -> "RobotsTable":
         """rows: (host, disallow_prefixes, crawl_delay_s, budget) or the
         5-field form with a trailing allow_prefixes list."""
