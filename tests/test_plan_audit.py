@@ -30,12 +30,14 @@ SF = "/root/testdata/sf0.01"
 
 #: queries whose construction runs jobs (iterative loops); their
 #: iteration bodies are plan-audited by tools/explain_plans.py
-EAGER = {"q39_dup_clusters", "q40_graph_rank"}
+EAGER = {"q39_dup_clusters", "q40_graph_rank", "q49_graph_rank_dangling"}
 
 #: the only queries allowed an Arrow (vectorized pandas) crossing:
 #: q34 decodes opaque media bytes — the one task built-in Columns
 #: genuinely cannot express
-ARROW_OK = {"q34_media_features"}
+#: ... and q48 runs the crawl's real HTML anchor parser (the same
+#: single documented Arrow pass as the round plan's extract stage)
+ARROW_OK = {"q34_media_features", "q48_anchor_topk"}
 
 #: queries that legitimately read a fat payload column (as a filter
 #: predicate, a rule-pipeline attribute, a merge payload, or the
@@ -50,7 +52,7 @@ FAT_OK = {
         "q33_top_terms_per_lang", "q34_media_features",
         "q36_repetition_quality", "q37_decontaminate_ngrams",
         "q38_packing_estimate", "q41_importance_weights",
-        "q43_substring_dup",
+        "q43_substring_dup", "q48_anchor_topk",
     },
     "embedding": {
         "q21_ann_cosine", "q22_embedding_norms", "q27_ann_lsh",
