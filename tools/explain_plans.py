@@ -212,6 +212,7 @@ def main() -> int:
         "q45_domain_cap",
         "q46_funnel_steps",
         "q47_retention_cohorts",
+        "q48_anchor_topk",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))
@@ -248,6 +249,42 @@ def main() -> int:
             "verify the persisted InMemoryTableScan side has NO Exchange "
             "above it; only the rank/label side shuffles per round",
             grab(contrib),
+        )
+    )
+    # q49's dangling variant adds one 1-row aggregate broadcast per
+    # round (the dangling mass) crossed into the same update — verify
+    # BroadcastNestedLoopJoin/BroadcastExchange on a 1-row side and the
+    # pinned edge side still Exchange-free
+    sinks = (
+        e.select(F.col("_dst").alias("node")).distinct()
+        .join(e.select(F.col("_src").alias("node")).distinct(),
+              "node", "left_anti")
+        .localCheckpoint()
+    )
+    dm = F.broadcast(
+        ranks.join(sinks, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+    )
+    nodes2 = e.select(F.col("_src").alias("node")).distinct()
+    upd = (
+        nodes2.join(contrib, nodes2["node"] == contrib["_dst"], "left")
+        .crossJoin(dm)
+        .select(
+            "node",
+            (F.lit(0.15 / 97)
+             + F.lit(0.85) * (F.coalesce("_c", F.lit(0.0))
+                              + F.col("_dm") / F.lit(97.0))).alias("rank"),
+        )
+    )
+    sections.append(
+        (
+            "PageRank dangling-mass update (q49, dangling='redistribute'): "
+            "per-round 1-row dangling-mass aggregate BROADCAST into the "
+            "rank update — verify the dm side is a BroadcastExchange over "
+            "a 1-row aggregate and no new Exchange appears on the edge "
+            "side",
+            grab(upd),
         )
     )
     e.unpersist()
