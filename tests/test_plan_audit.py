@@ -52,7 +52,8 @@ FAT_OK = {
         "q33_top_terms_per_lang", "q34_media_features",
         "q36_repetition_quality", "q37_decontaminate_ngrams",
         "q38_packing_estimate", "q41_importance_weights",
-        "q43_substring_dup", "q48_anchor_topk",
+        "q43_substring_dup", "q48_anchor_topk", "q50_paragraph_dedup",
+        "q51_gopher_rules", "q52_soft404_templates",
     },
     "embedding": {
         "q21_ann_cosine", "q22_embedding_norms", "q27_ann_lsh",

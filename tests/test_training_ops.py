@@ -311,3 +311,82 @@ def test_ivf_trained_codebook(spark):
     assert top[0]["vec_id"] == 17
     assert top[0]["score"] == pytest.approx(1.0, abs=1e-6)
     assert all(r["vec_id"] % 8 == 17 % 8 for r in top)  # same blob
+
+
+# --------------------------------------------------------------------------
+# round 5: paragraph dedup / gopher rules / soft-404 templates
+# --------------------------------------------------------------------------
+
+
+def _w(n, prefix):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_paragraph_dedup_removal(spark):
+    shared = "a b c d e f g h i j"  # one exact 10-word paragraph
+    rows = [
+        (0, shared + " " + _w(10, "x")),  # first occurrence -> kept
+        (1, shared + " " + _w(10, "y")),  # later doc -> para removed
+        (2, _w(10, "z")),                 # unique -> untouched
+        (3, _w(10, "q") + " " + _w(10, "q")),  # within-doc repeat -> 2nd removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[0]["n_removed"] == 0 and got[0]["text_clean"] == rows[0][1]
+    assert got[1]["n_removed"] == 1
+    assert got[1]["text_clean"] == _w(10, "y")
+    assert got[1]["dup_frac"] == 0.5
+    assert got[2]["n_removed"] == 0 and got[2]["text_clean"] == rows[2][1]
+    # within-doc duplicate: only the first (doc,pos) occurrence survives
+    assert got[3]["n_removed"] == 1 and got[3]["text_clean"] == _w(10, "q")
+    assert all(r["n_paras"] == (2 if i != 2 else 1) for i, r in got.items())
+
+
+def test_paragraph_dedup_hashed_matches_exact(spark):
+    rows = [(i, _w(25, "w" if i % 3 else "v")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, dedup.paragraph_dedup(df, hashed=True).collect()))
+    b = sorted(map(tuple, dedup.paragraph_dedup(df, hashed=False).collect()))
+    assert a == b
+
+
+def test_gopher_rules_boundaries(spark):
+    rows = [
+        (0, "the a " + _w(28, "bbb")),   # 30 words, stops=2 -> all pass?
+        (1, "the a " + _w(27, "bbb")),   # 29 words -> wordcount fails
+        (2, "the " + _w(29, "bbb")),     # stops=1 -> stopword rule fails
+        (3, "the a " + _w(28, "bb")),    # short words -> wordlen low
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_rules(df, "doc_id", "text").collect()
+    }
+    # doc 0: n=30, sumlen=3+1+28*3=88 -> 10*88=880 in [39*30, 48*30] ✓
+    assert got[0]["keep"] and got[0]["n_words"] == 30
+    assert not got[1]["rule_wordcount"] and not got[1]["keep"]
+    assert got[1]["rule_stopwords"]  # stops=2 independent of count
+    assert not got[2]["rule_stopwords"] and not got[2]["keep"]
+    assert got[2]["rule_wordcount"]
+    # doc 3: sumlen=3+1+28*2=60 -> 600 < 39*30=1170 -> wordlen fails
+    assert not got[3]["rule_wordlen"] and not got[3]["keep"]
+    assert got[3]["rule_wordcount"] and got[3]["rule_stopwords"]
+
+
+def test_soft404_candidates(spark):
+    from track0_spark.operators.boilerplate import soft404_candidates
+
+    err_a, err_b = "not found a", "not found b"
+    rows = (
+        [(f"http://a.test/p{i}", err_a) for i in range(3)]       # flagged
+        + [(f"http://b.test/p{i}", err_b) for i in range(2)]     # below min
+        + [("http://b.test/only", err_a)]  # same text, OTHER host -> no merge
+        + [("http://a.test/real", "unique body")]
+    )
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = soft404_candidates(df, "url", "text", min_urls=3).collect()
+    assert {r["url"] for r in got} == {f"http://a.test/p{i}" for i in range(3)}
+    assert all(r["host"] == "a.test" and r["n_urls_same_text"] == 3 for r in got)

@@ -2230,6 +2230,127 @@ SELECT node, round(rank, 8) AS rank FROM pr{iters}
 Q49_SQL = _q49_sql()
 
 
+def q50_paragraph_dedup(spark, sf):
+    """Paragraph-granularity cross-document dedup (RefinedWeb/Falcon
+    'remove duplicated spans' — Penedo et al. 2023), the REMOVAL
+    counterpart of q43's duplication profile: 10-word paragraphs, one
+    occurrence kept corpus-wide (lexicographically first (doc, pos)),
+    per-doc cleaned text reconstructed in position order. All-integer
+    aggregates + an int/int dup_frac, so the output is bit-stable on
+    any partitioning (the q01 lesson applied at design time).
+
+    Scale shape (operators/dedup.py paragraph_dedup): corpus explode
+    -> keeper group-by on int64 hashed paragraph keys -> hash-join
+    back -> one doc-level group-by with a sorted-struct rebuild;
+    nothing broadcast, no window, no driver state."""
+    from .operators.dedup import paragraph_dedup
+
+    d = T(spark, sf, "documents", floor=True).select("doc_id", "text")
+    return paragraph_dedup(d, "doc_id", "text", chunk_words=10)
+
+
+Q50_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(w[(g*10+1):(g*10+10)], ' ') AS para,
+         doc_id * 1048576 + g AS okey
+  FROM w, LATERAL (SELECT unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS g)
+),
+keep AS (SELECT para, min(okey) AS keep_key FROM occ GROUP BY para)
+SELECT o.doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN o.okey <> k.keep_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       round(CAST(sum(CASE WHEN o.okey <> k.keep_key THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS dup_frac,
+       coalesce(string_agg(o.para, ' ' ORDER BY o.pos)
+                  FILTER (WHERE o.okey = k.keep_key), '') AS text_clean
+FROM occ o JOIN keep k USING (para)
+GROUP BY o.doc_id
+"""
+
+
+def q51_gopher_rules(spark, sf):
+    """Gopher quality-rule family NOT covered by q36's repetition
+    signals (Rae et al. 2021): word-count bounds, mean-word-length
+    bounds, minimum stopword hits, composed keep decision. Flags are
+    integer arithmetic (10*sum(len) BETWEEN lo*n AND hi*n), so both
+    engines agree exactly; mean_word_len is a display-only int/int
+    division rounded to 4dp. Pure per-row Column folds, zero shuffle."""
+    from .operators.textstats import gopher_rules
+
+    return gopher_rules(
+        T(spark, sf, "documents").select("doc_id", "text"), "doc_id", "text"
+    )
+
+
+Q51_SQL = """
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       round(CAST(sl AS DOUBLE) / len(w), 4) AS mean_word_len,
+       CAST(sh AS BIGINT) AS stop_hits,
+       (len(w) >= 30 AND len(w) <= 90) AS rule_wordcount,
+       (10 * sl >= 39 * len(w) AND 10 * sl <= 48 * len(w)) AS rule_wordlen,
+       (sh >= 2) AS rule_stopwords,
+       ((len(w) >= 30 AND len(w) <= 90)
+        AND (10 * sl >= 39 * len(w) AND 10 * sl <= 48 * len(w))
+        AND sh >= 2) AS keep
+FROM (
+  SELECT doc_id, w,
+         list_sum(list_transform(w, x -> length(x))) AS sl,
+         len(list_filter(w, x -> x IN ('the', 'a'))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+"""
+
+
+def q52_soft404_templates(spark, sf):
+    """Template-page / soft-404 detection (Bar-Yossef et al. 2004
+    duplicate-content observation): per-host text-fingerprint clusters
+    with >= 3 distinct URLs flag every member URL. Pages are built
+    NATIVELY from documents — every 5th doc serves its host's shared
+    'not found' template instead of its own text — and the operator
+    (operators/boilerplate.py) runs the real parse_url host extraction
+    + xxhash64 fingerprint + per-(host,fp) window count; the DuckDB
+    twin computes host and body ANALYTICALLY from the same columns, so
+    drift in parse_url handling or the window count breaks the hash.
+
+    Scale shape: text never shuffles (8-byte fingerprint does); one
+    hash partition on (host, fp), no join, no broadcast."""
+    from .operators.boilerplate import soft404_candidates
+
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    host_id = (F.col("doc_id") % 7).cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"), host_id, F.lit(".test/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("not found on h"), host_id),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft404_candidates(pages, "url", "text", min_urls=3)
+
+
+Q52_SQL = """
+SELECT url, host, n_urls_same_text FROM (
+  SELECT url, host,
+         CAST(count(*) OVER (PARTITION BY host, body) AS BIGINT)
+           AS n_urls_same_text
+  FROM (
+    SELECT 'http://h' || (doc_id % 7) || '.test/p' || doc_id AS url,
+           'h' || (doc_id % 7) || '.test' AS host,
+           CASE WHEN doc_id % 5 = 0 THEN 'not found on h' || (doc_id % 7)
+                ELSE text END AS body
+    FROM documents))
+WHERE n_urls_same_text >= 3
+"""
+
+
 QUERIES = {
     "q01_agg_metrics": (q01_agg_metrics, Q01_SQL),
     "q02_topk_per_key": (q02_topk_per_key, Q02_SQL),
@@ -2280,6 +2401,9 @@ QUERIES = {
     "q47_retention_cohorts": (q47_retention_cohorts, Q47_SQL),
     "q48_anchor_topk": (q48_anchor_topk, Q48_SQL),
     "q49_graph_rank_dangling": (q49_graph_rank_dangling, Q49_SQL),
+    "q50_paragraph_dedup": (q50_paragraph_dedup, Q50_SQL),
+    "q51_gopher_rules": (q51_gopher_rules, Q51_SQL),
+    "q52_soft404_templates": (q52_soft404_templates, Q52_SQL),
 }
 
 

@@ -621,3 +621,86 @@ def simhash_near_pairs(
     return ham.filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# --------------------------------------------------------------------------
+# paragraph-granularity cross-document dedup (RefinedWeb / Falcon shape)
+# --------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+    hashed: bool = True,
+) -> DataFrame:
+    """Paragraph-granularity EXACT dedup across the whole corpus
+    (the RefinedWeb/Falcon 'remove duplicated spans, keep documents'
+    discipline — Penedo et al. 2023 — as opposed to q43's Lee-et-al
+    duplication PROFILE which only measures): split each document into
+    fixed ``chunk_words``-word paragraphs, keep exactly ONE occurrence
+    of every distinct paragraph corpus-wide (the lexicographically
+    first (doc, position) — deterministic on any partitioning), remove
+    the rest, and reconstruct each document's cleaned text from its
+    kept paragraphs in original order.
+
+    Returns (id, n_paras, n_removed, dup_frac, text_clean). All
+    counts are integers and dup_frac is an int/int division, so the
+    output is bit-stable across partitionings and engines (no float
+    accumulation anywhere — the q01 lesson).
+
+    Scale shape: one explode over the corpus; the keeper group-by runs
+    on int64 ``xxhash64(paragraph)`` keys when ``hashed`` (8-byte
+    shuffle keys instead of ~60-char strings — the q37/q43 trick; a
+    collision at 10^10 paragraphs is ~1e-7 per bucket and could only
+    drop one extra paragraph). The keeper table joins back on that
+    same key (plain hash join, nothing broadcast, no skew: a paragraph
+    shared by millions of docs lands in one group but its keeper row
+    is 1 row), then one final group-by on the doc id reassembles the
+    text with a sorted-struct fold — no window, no driver state.
+    The (doc, position) occurrence key is packed as
+    ``id * POS_PACK + pos``; POS_PACK bounds paragraphs per doc, far
+    above any real document at chunk_words >= 10."""
+    POS_PACK = 1 << 20
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' '))/{chunk_words}.0) - 1 as int)), "
+        f"g -> struct(cast(g as bigint) as pos, "
+        f"concat_ws(' ', slice(split({text_col}, ' '), g*{chunk_words}+1, {chunk_words})) as para))"
+    )
+    occ = df.select(
+        F.col(id_col).alias("_id"), F.explode(paras).alias("o")
+    ).select(
+        "_id",
+        F.col("o.pos").alias("pos"),
+        F.col("o.para").alias("para"),
+        (F.col("_id") * POS_PACK + F.col("o.pos")).alias("okey"),
+    )
+    key = F.xxhash64("para") if hashed else F.col("para")
+    occ = occ.withColumn("pkey", key)
+    keepers = occ.groupBy("pkey").agg(F.min("okey").alias("keep_key"))
+    flagged = occ.join(keepers, "pkey").withColumn(
+        "kept", F.col("okey") == F.col("keep_key")
+    )
+    return flagged.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.round(
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_frac"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+        ).alias("text_clean"),
+    )

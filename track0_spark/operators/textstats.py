@@ -100,3 +100,59 @@ def fingerprint_expr(text_col: str) -> Column:
         f"t -> {tok_hash}), CAST(0 AS BIGINT), "
         f"(acc, t) -> (acc * {FP_MUL} + t) % {FP_MOD})"
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1 shape)
+# --------------------------------------------------------------------------
+
+#: words counted as stopword hits by the Gopher "contains at least N
+#: stop words" rule. Frozen tiny set (same rationale as STOPWORDS).
+GOPHER_STOPWORDS = ("the", "a")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 90,
+    mwl_lo_x10: int = 39,
+    mwl_hi_x10: int = 48,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule family q36 does NOT cover (q36 has the
+    repetition signals): word-count bounds, mean-word-length bounds,
+    and the minimum-stopword-hits rule, composed into a keep decision
+    (Rae et al. 2021 'Scaling Language Models: ... Gopher', quality
+    appendix; thresholds here are tuned to the synthetic corpus, the
+    paper's are constructor args).
+
+    Every flag is computed in INTEGER arithmetic — the mean-word-length
+    bound ``lo/10 <= sum(len)/n <= hi/10`` is evaluated as
+    ``10*sum(len) between lo*n and hi*n`` — so the decision is
+    bit-identical on any engine/partitioning; the reported
+    ``mean_word_len`` is an int/int division rounded to 4dp (display
+    only, never compared against). Scale shape: pure per-row Column
+    fold over the token array, zero shuffle, whole-stage codegen."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w).cast("bigint")
+    sumlen = F.aggregate(
+        w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    stops = F.size(
+        F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+    ).cast("bigint")
+    rule_wc = (n >= min_words) & (n <= max_words)
+    rule_mwl = (10 * sumlen >= mwl_lo_x10 * n) & (10 * sumlen <= mwl_hi_x10 * n)
+    rule_stop = stops >= min_stop_hits
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(sumlen / n, 4).alias("mean_word_len"),
+        stops.alias("stop_hits"),
+        rule_wc.alias("rule_wordcount"),
+        rule_mwl.alias("rule_wordlen"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_stop).alias("keep"),
+    )
