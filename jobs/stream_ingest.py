@@ -57,6 +57,17 @@ def main(argv=None) -> int:
         help="work root: candidates/, fresh/, admitted/ + checkpoints land here",
     )
     ap.add_argument("--budget", type=int, default=100, help="per-host lifetime budget")
+    ap.add_argument(
+        "--content-gate", action="store_true",
+        help="also run the MinHash near-dup content gate over the "
+        "landed pages (streaming/neardup.py): every page gets an "
+        "is_content_fresh verdict in content/, admitted signatures "
+        "accumulate in sig_state/ LSM runs",
+    )
+    ap.add_argument(
+        "--near-dup-threshold", type=float, default=0.7,
+        help="estimated-Jaccard refusal threshold for --content-gate",
+    )
     ap.add_argument("--n-groups", type=int, default=64, help="dedup state shards")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--profile", default=None, help="synthetic web profile (demo)")
@@ -144,6 +155,25 @@ def main(argv=None) -> int:
             out_dir=dirs["admitted"], checkpoint_dir=cks["admitted"],
         )
 
+        content_stats = None
+        if args.content_gate:
+            from track0_spark.streaming import neardup
+
+            content_dir = os.path.join(w, "content")
+            neardup.run_neardup_gate(
+                spark.readStream.schema(PAGES_SCHEMA)
+                .parquet(args.landing),
+                out_dir=content_dir,
+                checkpoint_dir=os.path.join(w, "ck_content"),
+                state_dir=os.path.join(w, "sig_state"),
+                threshold=args.near_dup_threshold,
+            )
+            v = neardup.read_verdicts(spark, content_dir)
+            content_stats = {
+                "pages": v.count(),
+                "content_fresh": v.filter("is_content_fresh").count(),
+            }
+
         after = counts()
         admitted_true = (
             spark.read.parquet(dirs["admitted"]).filter("admitted").count()
@@ -156,6 +186,7 @@ def main(argv=None) -> int:
                     "counts": after,
                     "delta": {n: after[n] - before[n] for n in after},
                     "admitted_true": admitted_true,
+                    **({"content": content_stats} if content_stats else {}),
                 }
             )
         )

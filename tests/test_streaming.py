@@ -526,3 +526,85 @@ def test_arrival_seq_first_occurrence_follows_landing_order(spark, tmp_path):
     assert crossers, "fixture produced no cross-wave duplicate urls"
     for u in crossers:
         assert winners[u] >> 28 == wave_a, u
+
+
+def test_neardup_gate_across_batches_and_restart(spark, tmp_path):
+    """streaming/neardup.py: content near-dup verdicts carry across
+    micro-batches and a query restart via the LSM signature state —
+    the streaming counterpart of make_corpus's incremental appends."""
+    from track0_spark.streaming import neardup
+
+    landing = str(tmp_path / "pages")
+    out = str(tmp_path / "content")
+    ckpt = str(tmp_path / "ck")
+    state = str(tmp_path / "sig_state")
+    schema = "url string, warc_ts long, html binary, text string, lang string"
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows past the old stone bridge at dawn near the village"
+    )
+    far = "completely different words entirely about spark shuffle joins and window functions over partitioned tables"
+    b1 = [
+        ("http://a.test/1", 10, None, base, "en"),
+        ("http://a.test/2", 11, None, far, "en"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    neardup.run_neardup_gate(stream, out, ckpt, state, threshold=0.5)
+    v1 = {r["url"]: r["is_content_fresh"]
+          for r in neardup.read_verdicts(spark, out).collect()}
+    assert v1 == {"http://a.test/1": True, "http://a.test/2": True}
+
+    # batch 2 (restarted query, same checkpoint + state): a near-dup of
+    # batch 1's base doc is refused; an unrelated doc is admitted; a
+    # WITHIN-batch near-dup pair resolves to the earlier (warc_ts, url)
+    near = base.replace("dog", "cat")
+    twin_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    twin_b = twin_a.replace("rho", "rhoX")
+    b2 = [
+        ("http://b.test/near", 20, None, near, "en"),
+        ("http://b.test/new", 21, None,
+         "fresh unrelated content talking about bloom filters cuckoo tables and politeness budgets per host", "en"),
+        ("http://b.test/twin2", 23, None, twin_b, "en"),  # later ts
+        ("http://b.test/twin1", 22, None, twin_a, "en"),  # earlier ts
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    neardup.run_neardup_gate(stream, out, ckpt, state, threshold=0.5)
+    v = {r["url"]: r["is_content_fresh"]
+         for r in neardup.read_verdicts(spark, out).collect()}
+    assert v["http://b.test/near"] is False      # cross-batch refusal
+    assert v["http://b.test/new"] is True
+    assert v["http://b.test/twin1"] is True      # earlier warc_ts wins
+    assert v["http://b.test/twin2"] is False
+
+    # drained stream: re-run is a no-op (no new batches, same verdicts)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    neardup.run_neardup_gate(stream, out, ckpt, state, threshold=0.5)
+    again = {r["url"]: r["is_content_fresh"]
+             for r in neardup.read_verdicts(spark, out).collect()}
+    assert again == v
+
+    # state holds exactly the admitted docs' signatures
+    import os
+    runs = neardup._run_dirs(state)
+    ids = {r["id"] for r in spark.read.parquet(*runs).collect()}
+    assert ids == {u for u, f in v.items() if f} | set(v1)
+
+    # compaction: one base run, same membership, rerun still no-op
+    res = neardup.compact_state(spark, state)
+    assert res["compacted_runs"] == 2
+    runs2 = neardup._run_dirs(state)
+    assert len(runs2) == 1
+    assert {r["id"] for r in spark.read.parquet(*runs2).collect()} == ids
+
+    # torn state fails loudly
+    os.remove(os.path.join(runs2[0], "_SUCCESS"))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="torn"):
+        neardup._run_dirs(state)
