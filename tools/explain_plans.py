@@ -213,6 +213,9 @@ def main() -> int:
         "q46_funnel_steps",
         "q47_retention_cohorts",
         "q48_anchor_topk",
+        "q50_paragraph_dedup",
+        "q51_gopher_rules",
+        "q52_soft404_templates",
     ):
         fn = contract.queries()[name]
         sections.append((f"Contract {name}", grab(fn(spark, SF))))

@@ -657,8 +657,10 @@ def paragraph_dedup(
     drop one extra paragraph). The keeper table joins back on that
     same key (plain hash join, nothing broadcast, no skew: a paragraph
     shared by millions of docs lands in one group but its keeper row
-    is 1 row), then one final group-by on the doc id reassembles the
-    text with a sorted-struct fold — no window, no driver state.
+    is 1 row; Catalyst broadcasts the keeper side only while its stats
+    say it is small — at corpus scale it shuffles), then one final
+    group-by on the doc id reassembles the text with a sorted-struct
+    fold — no window, no driver state.
     The (doc, position) occurrence key is packed as
     ``id * POS_PACK + pos``; POS_PACK bounds paragraphs per doc, far
     above any real document at chunk_words >= 10."""
