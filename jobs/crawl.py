@@ -194,6 +194,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stop", default="")
     ap.add_argument("--rounds", type=int, default=50)
     ap.add_argument("--budget", type=int, default=100)
+    ap.add_argument(
+        "--round-period", type=float, default=None,
+        help="nominal seconds per BSP round: robots Crawl-delay caps a "
+        "host's per-round budget at max(1, floor(period/delay))",
+    )
     ap.add_argument("--ckpt", default=None, help="checkpoint root (default: temp dir)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
@@ -554,6 +559,7 @@ def main(argv=None) -> int:
             default_budget=args.budget,
             max_rounds=args.rounds,
             psl_path=args.psl,
+            round_period_s=args.round_period,
         )
         ckpt = args.ckpt or tempfile.mkdtemp(prefix="track0s-ckpt-")
         loop = CrawlLoop(

@@ -128,7 +128,13 @@ class OracleSpider:
         batch: list[LinkState] = []
         for host in sorted(by_host):
             pend = sorted(by_host[host], key=LinkState.order_key)
-            batch.extend(pend[: self.cfg.robots.budget(host)])
+            batch.extend(
+                pend[
+                    : self.cfg.robots.budget(
+                        host, self.cfg.round_period_s
+                    )
+                ]
+            )
         return batch  # already in (host, rank) == fetch_seq order
 
     def _round(self, r: int) -> None:

@@ -167,3 +167,37 @@ def test_cuckoo_gate_identical_output(spark, web_rows, oracle_log, tmp_path):
     got = spark_log_rows(loop)
     exp = [t for t in oracle_log_rows(olog) if t[0] < 5]
     assert got == exp
+
+
+def test_crawl_delay_budget_spark_matches_oracle(spark, web_rows, tmp_path):
+    """Robots Crawl-delay actually binds when round_period_s is set:
+    h0 declares Crawl-delay: 2.5 -> with a 10s nominal round only
+    floor(10/2.5)=4 of its pending urls fetch per round; the crawl
+    still matches the oracle exactly (same shared budget math)."""
+    rows = [
+        ("h0.example.test", ["/p/1"], 2.5, None, ["/p/10"]),
+        ("h1.example.test", [], 0.0, 3),
+    ]
+    robots = RobotsTable.from_rows(rows)
+    cfg = CrawlConfig.from_specs(
+        webgen.SEEDS, follow=FOLLOW, robots=robots, max_rounds=40,
+        round_period_s=10.0,
+    )
+    assert robots.budget("h0.example.test", 10.0) == 4
+    assert robots.budget("h0.example.test") == robots.default_budget
+    assert robots.budget("h1.example.test", 10.0) == 3  # no delay: unchanged
+    # pathological delay degrades to 1/round, never 0
+    assert RobotsTable.from_rows([("x", [], 99.0, None)]).budget("x", 10.0) == 1
+
+    sp = OracleSpider(cfg, webgen.store_from_rows(web_rows))
+    olog = sp.run()
+    from collections import Counter
+
+    per = Counter((r["round"], r["host"]) for r in olog)
+    h0 = [n for (rr, h), n in per.items() if h == "h0.example.test"]
+    assert max(h0) == 4 and len(h0) > 3  # the cap binds, repeatedly
+
+    pages = pages_from_rows(spark, web_rows)
+    loop = CrawlLoop(spark, cfg, pages, str(tmp_path / "ckpt_cd"))
+    loop.run()
+    assert spark_log_rows(loop) == oracle_log_rows(olog)

@@ -24,11 +24,32 @@ from pyspark.sql import DataFrame, Window, functions as F
 ORDER_COLS = ["priority", "depth", "discovered_round", "url_canon"]
 
 
-def _with_budget(frontier: DataFrame, robots: DataFrame, default_budget: int) -> DataFrame:
-    r = F.broadcast(robots.select("host", "budget_per_round"))
-    return frontier.join(r, "host", "left").withColumn(
-        "budget", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
-    ).drop("budget_per_round")
+def _with_budget(
+    frontier: DataFrame,
+    robots: DataFrame,
+    default_budget: int,
+    round_period_s: float | None = None,
+) -> DataFrame:
+    r = F.broadcast(robots.select("host", "budget_per_round", "crawl_delay_s"))
+    budget = F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+    if round_period_s is not None:
+        # Crawl-delay cap: max(1, floor(period/delay)) fetches of a
+        # d-spaced host fit in one nominal round — the same IEEE double
+        # division + floor as RobotsTable.budget, so spark == oracle
+        # exactly (track0s/robots.py)
+        cap = F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(float(round_period_s)) / F.col("crawl_delay_s")),
+        )
+        budget = F.when(
+            F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) > 0,
+            F.least(budget.cast("long"), cap),
+        ).otherwise(budget.cast("long"))
+    return (
+        frontier.join(r, "host", "left")
+        .withColumn("budget", budget)
+        .drop("budget_per_round", "crawl_delay_s")
+    )
 
 
 def select_batch(
@@ -37,6 +58,7 @@ def select_batch(
     default_budget: int,
     salt: int = 0,
     persist: bool = False,
+    round_period_s: float | None = None,
 ) -> tuple[DataFrame, DataFrame, list]:
     """-> (batch with per-host ``rank`` 1..B, leftover rows, persisted).
 
@@ -46,7 +68,7 @@ def select_batch(
     and rest split one materialization instead of running the window
     twice (the caller materializes + unpersists — plans/round.py).
     """
-    fb = _with_budget(frontier, robots, default_budget)
+    fb = _with_budget(frontier, robots, default_budget, round_period_s)
     handles: list = []
     if salt and salt > 1:
         # phase 1: per-(host, salt-bucket) partial rank, keep top-B

@@ -274,7 +274,8 @@ class RoundPlanner:
         # sequence as ONE BIGINT is what lets in-round dedup (D1 below)
         # hash-aggregate over a packed primitive key.
         batch, rest, topk_handles = select_batch(
-            frontier, self.robots_df, cfg.default_budget, self.salt, persist=True
+            frontier, self.robots_df, cfg.default_budget, self.salt,
+            persist=True, round_period_s=cfg.round_period_s,
         )
         batch = with_fetch_seq(batch)
 

@@ -52,6 +52,10 @@ class CrawlConfig:
     robots: RobotsTable = field(default_factory=RobotsTable)
     default_budget: int = DEFAULT_BUDGET
     max_rounds: int = 100
+    #: nominal wall-clock of one BSP round; when set, robots Crawl-delay
+    #: caps each host's budget at max(1, floor(period/delay)) on BOTH
+    #: engines (track0s/robots.py budget / operators/topk.py)
+    round_period_s: float | None = None
     #: optional Public Suffix List for original-reg-domain (track0s/psl.py);
     #: None -> the frozen PSL-lite subset in canon.registered_domain
     psl: object = None
@@ -81,6 +85,7 @@ class CrawlConfig:
         default_budget: int = DEFAULT_BUDGET,
         max_rounds: int = 100,
         psl_path: str | None = None,
+        round_period_s: float | None = None,
     ) -> "CrawlConfig":
         psl = None
         if psl_path is not None:
@@ -96,6 +101,7 @@ class CrawlConfig:
             default_budget=default_budget,
             max_rounds=max_rounds,
             psl=psl,
+            round_period_s=round_period_s,
         )
 
     def rule_defaults(self) -> dict:

@@ -22,6 +22,7 @@ best_allow >= best_disallow (plans/round.py P3).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 DEFAULT_BUDGET = 100
@@ -59,8 +60,26 @@ class RobotsTable:
             path, pol.disallow_prefixes
         )
 
-    def budget(self, host: str) -> int:
-        return self.policy(host).budget_per_round
+    def budget(self, host: str, round_period_s: float | None = None) -> int:
+        """Per-round politeness budget, optionally Crawl-delay-capped.
+
+        With ``round_period_s`` set (the BSP round's nominal wall — the
+        config knob that maps wall-clock politeness onto deterministic
+        rounds), a host declaring ``Crawl-delay: d`` is capped at
+        ``max(1, floor(period / d))`` fetches per round — the number of
+        d-spaced requests that fit in one round — never below 1 so a
+        pathological delay degrades to one fetch per round instead of
+        starving the host forever. Without the knob (the default),
+        Crawl-delay is carried but budget_per_round alone applies
+        (pre-round-5 behavior, golden-pinned). The Spark plan computes
+        the identical least/greatest/floor in native Columns
+        (operators/topk.py _with_budget); both sides share IEEE double
+        division, so parity is exact."""
+        pol = self.policy(host)
+        b = pol.budget_per_round
+        if round_period_s is not None and pol.crawl_delay_s > 0:
+            b = min(b, max(1, math.floor(round_period_s / pol.crawl_delay_s)))
+        return b
 
     @staticmethod
     def from_parquet(path: str, default_budget: int = DEFAULT_BUDGET) -> "RobotsTable":
