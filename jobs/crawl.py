@@ -199,6 +199,12 @@ def main(argv=None) -> int:
         help="nominal seconds per BSP round: robots Crawl-delay caps a "
         "host's per-round budget at max(1, floor(period/delay))",
     )
+    ap.add_argument(
+        "--retry-max", type=int, default=None,
+        help="transient-failure retries: pages answering the in-band "
+        "503/Retry-After analog re-queue with attempts+1, up to this "
+        "many additional attempts (default: retry tier off)",
+    )
     ap.add_argument("--ckpt", default=None, help="checkpoint root (default: temp dir)")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--salt", type=int, default=0, help="host-skew salt buckets (0=off)")
@@ -560,6 +566,7 @@ def main(argv=None) -> int:
             max_rounds=args.rounds,
             psl_path=args.psl,
             round_period_s=args.round_period,
+            retry_max=args.retry_max,
         )
         ckpt = args.ckpt or tempfile.mkdtemp(prefix="track0s-ckpt-")
         loop = CrawlLoop(

@@ -21,7 +21,7 @@ intent bypasses robots); all discovered candidates pass robots.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from urllib.parse import urljoin
 
@@ -32,6 +32,7 @@ from track0s.http import (
     header_content_type,
     redirect_target,
     resolve_redirect,
+    retry_after,
 )
 from track0s.rules import evaluate
 
@@ -57,6 +58,7 @@ class LinkState:
     src_attr: str | None
     is_requisite: bool
     discovered_round: int
+    attempts: int = 0
 
     @property
     def priority(self) -> int:
@@ -152,6 +154,12 @@ class OracleSpider:
                 redir = redirect_target(page.html)
                 status = 301 if redir else 200
                 ctype = header_content_type(page.html)
+                # transient-failure tier (in-band 503/Retry-After
+                # analog): unavailable until the declared attempt index
+                if cfg.retry_max is not None:
+                    ra = retry_after(page.html)
+                    if ra is not None and ls.attempts < ra:
+                        status, redir, ctype = 503, None, None
             size = len(page.html) if page else None
             attrs = link_attrs(ls, cfg, size, content_type=ctype)
             saved = status == 200 and evaluate(cfg.save, attrs, True)
@@ -170,6 +178,15 @@ class OracleSpider:
                     "via_url": ls.via_url,
                 }
             )
+            if status == 503:
+                # politeness defers, retry re-queues: same link state,
+                # bumped attempt count, ORIGINAL discovery order key —
+                # up to retry_max additional attempts, then dropped
+                if ls.attempts + 1 <= cfg.retry_max:
+                    self.frontier[ls.url_canon] = replace(
+                        ls, attempts=ls.attempts + 1
+                    )
+                continue
             if stop or page is None:
                 continue
             if status == 301:

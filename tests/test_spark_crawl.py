@@ -201,3 +201,90 @@ def test_crawl_delay_budget_spark_matches_oracle(spark, web_rows, tmp_path):
     loop = CrawlLoop(spark, cfg, pages, str(tmp_path / "ckpt_cd"))
     loop.run()
     assert spark_log_rows(loop) == oracle_log_rows(olog)
+
+
+def _retry_web():
+    """Tiny hand-built web exercising the transient-failure tier: the
+    seed links to a page that recovers on attempt 2 (and itself links
+    onward — content reachable ONLY through a successful retry), one
+    that never recovers within retry_max, and one ordinary page."""
+    def page(url, body):
+        return {
+            "url": url, "warc_ts": 1_700_000_000, "lang": "en",
+            "html": body.encode(), "text": "",
+        }
+
+    h = "http://h9.example.test"
+    return [
+        page(f"{h}/p/0",
+             f'<html><body><a href="/flaky">f</a><a href="/dead">d</a>'
+             f'<a href="/ok">o</a></body></html>'),
+        page(f"{h}/flaky",
+             '<html><head><meta http-equiv="retry-after" content="2">'
+             '</head><body><a href="/behind-flaky">b</a></body></html>'),
+        page(f"{h}/dead",
+             '<html><head><meta http-equiv="retry-after" content="99">'
+             '</head><body>never</body></html>'),
+        page(f"{h}/ok", "<html><body>fine</body></html>"),
+        page(f"{h}/behind-flaky", "<html><body>prize</body></html>"),
+    ]
+
+
+def test_retry_transient_spark_matches_oracle(spark, tmp_path):
+    rows = _retry_web()
+    cfg = CrawlConfig.from_specs(
+        ["http://h9.example.test/p/0"], follow="+original-domain",
+        max_rounds=40, retry_max=3,
+    )
+    sp = OracleSpider(cfg, webgen.store_from_rows(rows))
+    olog = sp.run()
+    by_url = {}
+    for r in olog:
+        by_url.setdefault(r["url_canon"].rsplit("/", 1)[-1], []).append(
+            r["status"]
+        )
+    # flaky: 503, 503, then recovers -> its child gets crawled
+    assert by_url["flaky"] == [503, 503, 200]
+    assert by_url["behind-flaky"] == [200]
+    # dead: retried up to retry_max additional attempts, then dropped
+    assert by_url["dead"] == [503, 503, 503, 503]
+    assert by_url["ok"] == [200]
+
+    pages = pages_from_rows(spark, rows)
+    loop = CrawlLoop(spark, cfg, pages, str(tmp_path / "ckpt_rt"))
+    loop.run()
+    assert spark_log_rows(loop) == oracle_log_rows(olog)
+
+
+def test_retry_resume_mid_retry_reproduces_log(spark, tmp_path):
+    """Kill while retries are pending -> resume -> identical log (the
+    attempts column survives the frontier checkpoint round-trip)."""
+    rows = _retry_web()
+    cfg = CrawlConfig.from_specs(
+        ["http://h9.example.test/p/0"], follow="+original-domain",
+        max_rounds=40, retry_max=3,
+    )
+    olog = OracleSpider(cfg, webgen.store_from_rows(rows)).run()
+    pages = pages_from_rows(spark, rows)
+    root = str(tmp_path / "ckpt_rt2")
+    CrawlLoop(spark, cfg, pages, root).run(max_rounds=2)  # mid-retry kill
+    loop2 = CrawlLoop(spark, cfg, pages, root)
+    loop2.run()
+    assert spark_log_rows(loop2) == oracle_log_rows(olog)
+
+
+def test_retry_tier_off_ignores_marker(spark, tmp_path):
+    """Default config (retry_max=None): marker pages fetch as plain 200
+    content — the pre-round-5 behavior, knob-gated."""
+    rows = _retry_web()
+    cfg = CrawlConfig.from_specs(
+        ["http://h9.example.test/p/0"], follow="+original-domain",
+        max_rounds=40,
+    )
+    olog = OracleSpider(cfg, webgen.store_from_rows(rows)).run()
+    statuses = {r["url_canon"].rsplit("/", 1)[-1]: r["status"] for r in olog}
+    assert statuses["flaky"] == 200 and statuses["dead"] == 200
+    pages = pages_from_rows(spark, rows)
+    loop = CrawlLoop(spark, cfg, pages, str(tmp_path / "ckpt_rt3"))
+    loop.run()
+    assert spark_log_rows(loop) == oracle_log_rows(olog)

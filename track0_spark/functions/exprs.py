@@ -14,7 +14,12 @@ from itertools import chain
 
 from pyspark.sql import Column, functions as F
 
-from track0s.http import CONTENT_TYPE_PATTERN, REDIRECT_PATTERN, SNIFF_BYTES
+from track0s.http import (
+    CONTENT_TYPE_PATTERN,
+    REDIRECT_PATTERN,
+    RETRY_AFTER_PATTERN,
+    SNIFF_BYTES,
+)
 from track0s.mime import DEFAULT_MIME, EXT_MIME
 
 #: extension of the last path segment — matches mime.ext_of_path
@@ -58,6 +63,13 @@ def redirect_target_expr(html_col: Column) -> Column:
     Native twin of ``track0s.http.redirect_target``."""
     t = F.regexp_extract(_head_expr(html_col), REDIRECT_PATTERN, 1)
     return F.when(html_col.isNotNull() & (t != ""), t)
+
+
+def retry_after_expr(html_col: Column) -> Column:
+    """In-band 503/Retry-After declaration as INT; NULL when absent.
+    Native twin of ``track0s.http.retry_after``."""
+    t = F.regexp_extract(_head_expr(html_col), RETRY_AFTER_PATTERN, 1)
+    return F.when(html_col.isNotNull() & (t != ""), t.cast("int"))
 
 
 def header_content_type_expr(html_col: Column) -> Column:

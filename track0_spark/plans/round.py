@@ -28,6 +28,7 @@ from ..functions.exprs import (
     header_content_type_expr,
     is_html_expr,
     redirect_target_expr,
+    retry_after_expr,
     url_hash_expr,
 )
 from ..functions.rules_compile import compile_rules
@@ -126,17 +127,41 @@ class RoundPlanner:
         removes ~2k py4j round-trips per round — measured ~0.9 s of pure
         driver<->JVM socket latency, the fixed cost that capped
         whole-crawl scaling efficiency (VERDICT r2 next #3)."""
-        self._status_col = (
-            F.when(F.col("html").isNull(), 404)
-            .when(redirect_target_expr(F.col("html")).isNotNull(), 301)
-            .otherwise(200)
-            .alias("status")
-        )
-        self._size_col = F.length("html").alias("size")
-        self._ct_col = F.coalesce(
+        ct_fetched = F.coalesce(
             header_content_type_expr(F.col("html")),
             content_type_expr(F.col("path")),
-        ).alias("content_type")
+        )
+        if self.cfg.retry_max is not None:
+            # transient-failure tier (in-band 503/Retry-After analog,
+            # track0s/http.py retry_after): unavailable until the
+            # declared attempt index. Precedence 503 > 301 > 200, and
+            # an unavailable page exposes neither its redirect nor its
+            # in-band content-type — exactly the oracle's override.
+            _ra = retry_after_expr(F.col("html"))
+            unavail = _ra.isNotNull() & (F.col("attempts") < _ra)
+            self._status_col = (
+                F.when(F.col("html").isNull(), 404)
+                .when(unavail, 503)
+                .when(redirect_target_expr(F.col("html")).isNotNull(), 301)
+                .otherwise(200)
+                .alias("status")
+            )
+            self._ct_col = (
+                F.when(unavail, content_type_expr(F.col("path")))
+                .otherwise(ct_fetched)
+                .alias("content_type")
+            )
+        else:
+            # retry tier off (default): the 503 sniff is never built,
+            # so crawls without the knob run the pre-round-5 plan
+            self._status_col = (
+                F.when(F.col("html").isNull(), 404)
+                .when(redirect_target_expr(F.col("html")).isNotNull(), 301)
+                .otherwise(200)
+                .alias("status")
+            )
+            self._ct_col = ct_fetched.alias("content_type")
+        self._size_col = F.length("html").alias("size")
         self._saved_col = (
             (F.col("status") == 200) & self.save_col
         ).alias("saved")
@@ -194,6 +219,7 @@ class RoundPlanner:
         _frontier_exprs = {
             "url_hash": url_hash_expr(F.col("url_canon")),
             "priority": F.when(F.col("is_requisite"), 0).otherwise(1),
+            "attempts": F.lit(0).cast("int"),
         }
         # discovered_round is the one per-round literal: filled in
         # run_round by index (kept last here)
@@ -246,6 +272,7 @@ class RoundPlanner:
                     False,
                     0,
                     priority_of(False),
+                    0,
                 )
             )
         df = self.spark.createDataFrame(rows, schema=FRONTIER)
@@ -411,6 +438,20 @@ class RoundPlanner:
         frontier_next = rest.select(*self._frontier_names).unionByName(
             admitted
         )
+        if cfg.retry_max is not None:
+            # transient 503s re-queue with attempts+1 (ORIGINAL
+            # discovery order key — a retry is not a rediscovery), up
+            # to retry_max additional attempts; the urls stay in the
+            # seen set, so they re-enter only through this path
+            retries = (
+                fetched.filter(
+                    (F.col("status") == 503)
+                    & (F.col("attempts") + 1 <= cfg.retry_max)
+                )
+                .withColumn("attempts", F.col("attempts") + 1)
+                .select(*self._frontier_names)
+            )
+            frontier_next = frontier_next.unionByName(retries)
         # D4: seen update — append-only delta (the Iceberg append);
         # url_h64 rides along so the bloom rebuilds from storage on resume
         seen_delta = admitted.select(

@@ -31,6 +31,9 @@ FRONTIER = T.StructType(
         T.StructField("is_requisite", T.BooleanType()),
         T.StructField("discovered_round", T.IntegerType()),
         T.StructField("priority", T.IntegerType()),
+        # transient-retry tier (round 5): fetch attempts so far; old
+        # checkpoints lack the column (read as null -> coalesced to 0)
+        T.StructField("attempts", T.IntegerType()),
     ]
 )
 

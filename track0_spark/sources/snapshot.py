@@ -32,7 +32,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import CRAWL_LOG, FRONTIER, SEEN
 
@@ -138,9 +138,15 @@ class SnapshotStore:
 
     def load_frontier(self, rnd: int) -> DataFrame:
         # explicit schema: skips the per-round parquet footer schema
-        # inference (driver fixed cost — VERDICT r2 next #3)
-        return self.spark.read.schema(FRONTIER).parquet(
+        # inference (driver fixed cost — VERDICT r2 next #3).
+        # attempts: pre-round-5 checkpoints lack the column (parquet
+        # fills null under an explicit schema) — legacy-tolerated as 0,
+        # the politeness STATE_SCHEMA discipline
+        df = self.spark.read.schema(FRONTIER).parquet(
             os.path.join(self._dir(rnd), "frontier")
+        )
+        return df.withColumn(
+            "attempts", F.coalesce(F.col("attempts"), F.lit(0))
         )
 
     def _compact_dir(self, rnd: int) -> str:

@@ -56,6 +56,12 @@ class CrawlConfig:
     #: caps each host's budget at max(1, floor(period/delay)) on BOTH
     #: engines (track0s/robots.py budget / operators/topk.py)
     round_period_s: float | None = None
+    #: transient-failure retry tier: when set, a fetch answering the
+    #: in-band 503 analog (track0s/http.py retry_after) re-enters the
+    #: frontier with attempts+1, up to retry_max ADDITIONAL attempts
+    #: (retry_max+1 fetches total); None (default) disables the tier
+    #: entirely — the 503 sniff is never evaluated
+    retry_max: int | None = None
     #: optional Public Suffix List for original-reg-domain (track0s/psl.py);
     #: None -> the frozen PSL-lite subset in canon.registered_domain
     psl: object = None
@@ -86,6 +92,7 @@ class CrawlConfig:
         max_rounds: int = 100,
         psl_path: str | None = None,
         round_period_s: float | None = None,
+        retry_max: int | None = None,
     ) -> "CrawlConfig":
         psl = None
         if psl_path is not None:
@@ -102,6 +109,7 @@ class CrawlConfig:
             max_rounds=max_rounds,
             psl=psl,
             round_period_s=round_period_s,
+            retry_max=retry_max,
         )
 
     def rule_defaults(self) -> dict:

@@ -47,6 +47,14 @@ CONTENT_TYPE_PATTERN = (
     r"""[^>]*content\s*=\s*["']?([a-z0-9/+.-]+)"""
 )
 
+#: group 1 = attempt index from which the fetch succeeds (the in-band
+#: analog of a 503 + Retry-After header: the page is transiently
+#: unavailable until the crawler's Nth retry — see retry_after())
+RETRY_AFTER_PATTERN = (
+    r"""(?i)<meta\s[^>]*http-equiv\s*=\s*["']?retry-after["']?"""
+    r"""[^>]*content\s*=\s*["']?(\d+)"""
+)
+
 # re.ASCII: Java regex \s and \d are ASCII-only; Python's default str
 # semantics are Unicode, so after the latin-1 decode a NBSP (0xA0 ->
 # U+00A0) would satisfy Python \s but not the Spark twin's. The
@@ -54,6 +62,7 @@ CONTENT_TYPE_PATTERN = (
 # else — it makes \s == [ \t\n\x0B\f\r] and \d == [0-9] on both sides.
 _REDIRECT_RE = re.compile(REDIRECT_PATTERN, re.ASCII)
 _CONTENT_TYPE_RE = re.compile(CONTENT_TYPE_PATTERN, re.ASCII)
+_RETRY_AFTER_RE = re.compile(RETRY_AFTER_PATTERN, re.ASCII)
 
 
 def _head(html: bytes) -> str:
@@ -75,6 +84,19 @@ def header_content_type(html: bytes) -> str | None:
     """Declared in-band content-type (lowercased), or None."""
     m = _CONTENT_TYPE_RE.search(_head(html))
     return m.group(1).lower() if m else None
+
+
+def retry_after(html: bytes) -> int | None:
+    """In-band 503/Retry-After analog (round 5): a page declaring
+    ``<meta http-equiv="retry-after" content="N">`` answers 503 on
+    attempts 0..N-1 and serves its content from attempt N on — how an
+    archived crawl preserves "this URL was transiently down and
+    recovered after N retries". Returns N, or None when the page
+    carries no declaration. Only consulted when the retry tier is
+    enabled (CrawlConfig.retry_max is not None), so crawls without the
+    knob never change behavior."""
+    m = _RETRY_AFTER_RE.search(_head(html))
+    return int(m.group(1)) if m else None
 
 
 def resolve_redirect(base_url: str, target: str) -> str | None:
