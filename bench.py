@@ -282,6 +282,32 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         spark.stop()
 
 
+#: round-5 instrumented root-cause of the round-1 wall anomaly
+#: (tools/profile_round1.py); static measured text, regenerated docs keep it
+ANOMALY_SECTION = """### The local[32] round-1 wall anomaly — root-caused (round 5, instrumented)
+
+Round-3/4 probes saw the round-1 wall swing 12-27 s at 32 threads and guessed "driver/scheduler starvation". Round 5 instrumented it (`tools/profile_round1.py`: same warm-JVM timed round, Spark event log on, per-task decomposition into executorRunTime / GC / scheduler-delay / uncovered-by-any-task driver gap; 3 interleaved trials at 24/30/32 threads, 3M-page web):
+
+| trial | threads | wall s | sum executorRunTime s | GC s | sched-delay s | driver-gap s | steal % |
+|---|---|---|---|---|---|---|---|
+| 0 | 24 | 17.30 | 202.1 | 1.1 | 4.0 | 3.9 | 0.61 |
+| 0 | 30 | **46.43** | **1153.7** | 37.9 | 11.0 | 3.8 | **9.86** |
+| 0 | 32 | 10.46 | 156.1 | 0.8 | 3.5 | 4.0 | 0.66 |
+| 1 | 24 | 7.57 | 100.6 | 0.0 | 1.9 | 2.3 | 1.41 |
+| 1 | 30 | 8.15 | 135.0 | 10.7 | 2.6 | 2.4 | 0.15 |
+| 1 | 32 | **22.22** | **313.5** | 4.0 | 5.2 | 8.9 | 0.10 |
+| 2 | 24 | 6.95 | 87.6 | 0.7 | 1.7 | 2.3 | 0.02 |
+| 2 | 30 | 7.45 | 118.0 | 2.3 | 2.3 | 2.3 | 0.13 |
+| 2 | 32 | 8.76 | 142.4 | 0.6 | 2.8 | 2.9 | 0.10 |
+
+Two findings, both deployment artifacts, neither engine overhead:
+
+1. **The swings are host CPU-delivery variance, not scheduling.** In every blown-up trial the inflation is in executorRunTime itself — the SAME fixed task set (585/723/769 tasks per level, identical across trials) consumes 118 s of task-wall in a quiet window and 1,153 s in a bad one — while scheduler delay stays 2-11 s, the driver gap stays 2-9 s, and GC is <4% of the blow-up. The hypervisor sometimes shows it as steal (9.9% in trial 0) and sometimes not at all (0.10% in trial 1's 22 s wall): co-tenant SMT/memory-bandwidth contention slows every task uniformly without being accounted as steal. The starvation hypothesis is refuted: the driver gap never exceeds 9 s and is ~2.3 s in quiet windows at every thread count.
+2. **The monotone 24→32 regression under QUIET conditions is oversubscription-as-contention, not latency.** Trial 2 (steal ~0): walls 6.95 / 7.45 / 8.76 s at 24/30/32 threads while total CPU-seconds for the same work grow 87.6 → 118.0 → 142.4 s — each added thread past ~24 makes every task slower (SMT siblings + executor/driver sharing 32 vCPUs) at near-zero scheduler delay. That is why local[24] round-1 is both faster AND stabler (6.95-17.3 s across trials, vs 8.76-22.2 at 32).
+
+Consequence for the bench: round-1 (many small tasks) prefers 24 threads, but the SATURATED rounds — the regime the 10^10 design point lives in — still peak at local[32] (bulk extract tasks tolerate SMT), so the bench keeps local[32] as the peak level and the interleaved/bracketed protocol absorbs the weather. On a real cluster neither effect exists: the driver does not share cores with executors and executors do not share SMT siblings with co-tenants."""
+
+
 def write_baseline_md(
     crawl_results: list[dict],
     eff: float | None,
@@ -436,16 +462,7 @@ def write_baseline_md(
                 f"drops (typically beyond ~16 procs on this VM), so must any "
                 f"engine.",
                 "",
-                "Probed directly (round-1 wall at 8/16/24/32 executor threads, "
-                "same code, warm JVM): 12.1 / 8.0 / 7.0 / 12.2 s — monotone "
-                "improvement through 24 threads, then a regression at 32 that "
-                "swings 12-27 s across runs while plan-build time stays ~1 s. "
-                "local[32] oversubscribes the 32-vCPU host (executor threads "
-                "leave no headroom for the driver/scheduler/GC), so small "
-                "many-task rounds go scheduling-latency-bound — the same "
-                "saturation the control kernel shows past 16 procs. "
-                "Deployment note, not engine overhead: on a real cluster the "
-                "driver does not share cores with the executors.",
+                ANOMALY_SECTION,
             ]
     if atscale:
         d = atscale["delta_vs_default_pct"]
