@@ -37,7 +37,21 @@ EAGER = {"q39_dup_clusters", "q40_graph_rank", "q49_graph_rank_dangling"}
 #: genuinely cannot express
 #: ... and q48 runs the crawl's real HTML anchor parser (the same
 #: single documented Arrow pass as the round plan's extract stage)
-ARROW_OK = {"q34_media_features", "q48_anchor_topk"}
+#: ... and since r6 the similarity/minhash/simhash signature+score
+#: kernels (q24/q25/q29): their pure-Column folds are CodegenFallback
+#: (interpreted per array element) and the vectorized numpy kernels
+#: compute bit-identical results 5-20x faster (guide §4.2; equality
+#: pinned in tests/test_training_ops.py; the expr path remains under
+#: impl="expr" as the DuckDB-twin verification form)
+ARROW_OK = {
+    "q34_media_features",
+    "q48_anchor_topk",
+    "q24_minhash_lsh_pairs",
+    "q25_simhash_near_pairs",
+    "q27_ann_lsh",
+    "q29_cosine_near_dup",
+    "q31_ann_ivf",
+}
 
 #: queries that legitimately read a fat payload column (as a filter
 #: predicate, a rule-pipeline attribute, a merge payload, or the

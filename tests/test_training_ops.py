@@ -390,3 +390,110 @@ def test_soft404_candidates(spark):
     got = soft404_candidates(df, "url", "text", min_urls=3).collect()
     assert {r["url"] for r in got} == {f"http://a.test/p{i}" for i in range(3)}
     assert all(r["host"] == "a.test" and r["n_urls_same_text"] == 3 for r in got)
+
+
+# ------------- r6: arrow-kernel == expr-fold bit parity -------------------
+# The optimization round replaced interpreted higher-order-function
+# folds with vectorized numpy kernels (guide §4.2). These tests pin the
+# BIT-level equality the oracle contract rides on — raw doubles via
+# .hex(), integer signatures verbatim — on real sf0.01 tables PLUS
+# adversarial rows (empty/whitespace/unicode/short docs).
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_adversarial(spark):
+    base = spark.read.parquet(f"{SF001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [
+            (900001, ""),
+            (900002, "   "),
+            (900003, "a"),
+            (900004, "a b"),
+            (900005, "a b c"),
+            (900006, "héllo wörld ünïcode héllo wörld"),
+            (900007, "x\t\ty  z\n w \x0b v  a b c d"),
+            (900008, "日本語 テスト 文字 列 日本語 テスト"),
+            (900009, " lead and trail  "),
+            (900010, "\t\n"),
+            (900011, "a  b   c a  b   c a b"),
+        ],
+        "doc_id long, text string",
+    )
+    return base.unionByName(extra)
+
+
+def test_minhash_signatures_arrow_matches_expr(docs_adversarial):
+    d = docs_adversarial
+    expr = {
+        r["id"]: tuple(r["sig"])
+        for r in dedup.minhash_native_signatures(
+            d, "doc_id", "text", impl="expr"
+        ).collect()
+    }
+    arrow = {
+        r["id"]: tuple(r["sig"])
+        for r in dedup.minhash_native_signatures(
+            d, "doc_id", "text", impl="arrow"
+        ).collect()
+    }
+    assert expr == arrow
+
+
+def test_simhash_pairs_arrow_matches_expr(docs_adversarial):
+    d = docs_adversarial
+    pe = sorted(
+        map(tuple, dedup.simhash_native_pairs(d, "doc_id", "text", impl="expr", handles=[]).collect())
+    )
+    pa = sorted(
+        map(tuple, dedup.simhash_native_pairs(d, "doc_id", "text", impl="arrow", handles=[]).collect())
+    )
+    assert pe == pa and len(pe) > 0
+
+
+def test_cosine_near_dup_arrow_matches_expr(spark):
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    old = similarity.cosine_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, planes=12, band_bits=4,
+        threshold=0.35, handles=[], impl="expr",
+    ).collect()
+    new = similarity.cosine_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, planes=12, band_bits=4,
+        threshold=0.35, impl="arrow",
+    ).collect()
+    ro = sorted((r["id_a"], r["id_b"], r["cosine"].hex()) for r in old)
+    rn = sorted((r["id_a"], r["id_b"], r["cosine"].hex()) for r in new)
+    assert ro == rn and len(ro) > 0
+
+
+def test_ann_lsh_arrow_matches_expr(spark):
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    q = [1.0 if i % 2 == 0 else 0.5 for i in range(64)]
+    bucketed = similarity.with_lsh_bucket_native(e, "embedding", dim=64, planes=10)
+    old = similarity.ann_topk_lsh(
+        bucketed, "vec_id", "embedding", q, dim=64, planes=10, radius=2, k=10
+    ).collect()
+    new = similarity.ann_topk_lsh_arrow(
+        e, "vec_id", "embedding", q, dim=64, planes=10, radius=2, k=10
+    ).collect()
+    assert [(r["vec_id"], r["score"].hex()) for r in old] == [
+        (r["vec_id"], r["score"].hex()) for r in new
+    ]
+
+
+def test_ivf_topk_arrow_matches_expr(spark):
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    q = [1.0 if i % 2 == 0 else 0.5 for i in range(64)]
+    celled = similarity.with_ivf_cell(e, "embedding", dim=64, cells=16)
+    old = similarity.ivf_topk(
+        celled, "vec_id", "embedding", q, dim=64, cells=16, nprobe=4, k=10
+    ).collect()
+    new = similarity.ivf_topk_arrow(
+        e, "vec_id", "embedding", q, dim=64, cells=16, nprobe=4, k=10
+    ).collect()
+    assert [(r["vec_id"], r["score"].hex()) for r in old] == [
+        (r["vec_id"], r["score"].hex()) for r in new
+    ]

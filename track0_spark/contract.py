@@ -174,7 +174,7 @@ def q06_glob_filter(spark, sf):
     from track0s.rules import glob_to_regex
 
     return (
-        T(spark, sf, "documents")
+        T(spark, sf, "documents", floor=True)
         .filter(F.col("text").rlike(glob_to_regex("*spark*join*")))
         .select("doc_id", "lang", "n_chars")
     )
@@ -189,7 +189,7 @@ def q07_rule_pipeline(spark, sf):
     """R12 the compiled ordered rule pipeline itself, vs handwritten
     CASE WHEN (last-match-wins == first-match of the reversed chain)."""
     rules = parse_pipeline("+domain=src1* -depth>300 +url=*spark*")
-    d = T(spark, sf, "documents").select(
+    d = T(spark, sf, "documents", floor=True).select(
         "doc_id",
         F.col("source").alias("host"),
         F.col("n_chars").cast("int").alias("depth"),
@@ -211,7 +211,7 @@ FROM documents
 
 def q08_url_parse(spark, sf):
     """U4 host/path extraction via native parse_url."""
-    d = T(spark, sf, "documents").withColumn(
+    d = T(spark, sf, "documents", floor=True).withColumn(
         "url", F.concat(F.lit("http://"), "source", F.lit(".example.test/d/"), "doc_id")
     )
     return d.select(
@@ -233,7 +233,7 @@ FROM documents
 def q09_json_scalar(spark, sf):
     """JSON scalar extraction (events.props)."""
     return (
-        T(spark, sf, "events")
+        T(spark, sf, "events", floor=True)
         .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
         .agg(
@@ -775,12 +775,11 @@ def q27_ann_lsh(spark, sf):
     """LSH-bucketed approximate top-k cosine — native sequential-fold
     bucket signatures (bit-equal across engines) make the probe
     oracle-hash-checkable; brute-force q21 is the exact baseline."""
-    from .operators.similarity import ann_topk_lsh, with_lsh_bucket_native
+    from .operators.similarity import ann_topk_lsh_arrow
 
     e = T(spark, sf, "embeddings", floor=True)
-    bucketed = with_lsh_bucket_native(e, "embedding", dim=64, planes=10)
-    return ann_topk_lsh(
-        bucketed, "vec_id", "embedding", _QVEC, dim=64, planes=10, radius=2, k=10
+    return ann_topk_lsh_arrow(
+        e, "vec_id", "embedding", _QVEC, dim=64, planes=10, radius=2, k=10
     ).select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1009,12 +1008,11 @@ def q31_ann_ivf(spark, sf):
     q27's LSH): frozen seeded codebook, native argmin cell assignment,
     nprobe=4 probed cells, exact cosine inside them. Sequential folds +
     first-min tie-break make the assignment oracle-hash-checkable."""
-    from .operators.similarity import ivf_topk, with_ivf_cell
+    from .operators.similarity import ivf_topk_arrow
 
     e = T(spark, sf, "embeddings", floor=True)
-    celled = with_ivf_cell(e, "embedding", dim=64, cells=16)
-    return ivf_topk(
-        celled, "vec_id", "embedding", _QVEC, dim=64, cells=16, nprobe=4, k=10
+    return ivf_topk_arrow(
+        e, "vec_id", "embedding", _QVEC, dim=64, cells=16, nprobe=4, k=10
     ).select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -1350,8 +1348,16 @@ def q37_decontaminate_ngrams(spark, sf):
     import os as _os
 
     hashed = _os.environ.get("TRACK0S_Q37_EXACT", "") != "1"
-    d = T(spark, sf, "documents", floor=True).select("doc_id", "lang", "text")
-    toks = F.split(F.col("text"), " ")
+    # BIND the token split as a real column before the gram transform:
+    # inlining `split(text)` into the lambda re-evaluates the O(doc)
+    # split for every element access (4x per gram — measured 3.2s vs
+    # 0.3s for the gram explode at sf0.1; the dedup.py _bind_words_sql
+    # trap, r6 guide §1 measurement). Same rows, same hashes.
+    d = (
+        T(spark, sf, "documents", floor=True)
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
+    )
+    toks = F.col("t")
     n = F.size(toks)
 
     def gram_at(i):
@@ -1594,8 +1600,12 @@ def q41_importance_weights(spark, sf):
     from .operators.dedup import char_hash_sql
 
     B = _DSIR_BUCKETS
-    d = T(spark, sf, "documents", floor=True).select("doc_id", "lang", "text")
-    toks = F.split(F.col("text"), " ")
+    # bound token column (the q37 inline-split-in-lambda fix, r6)
+    d = (
+        T(spark, sf, "documents", floor=True)
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
+    )
+    toks = F.col("t")
     n = F.size(toks)
     grams = F.when(
         n >= 2,
@@ -2110,7 +2120,7 @@ def q48_anchor_topk(spark, sf):
     and its rk <= 3 filter is WindowGroupLimit-prunable."""
     from .operators.linkgraph import anchor_summary, anchor_texts
 
-    d = T(spark, sf, "documents").select("doc_id", "text")
+    d = T(spark, sf, "documents", floor=True).select("doc_id", "text")
     w = F.regexp_extract(F.lower("text"), "[a-z0-9]+", 0)
     host = F.concat(
         F.lit("http://h"),

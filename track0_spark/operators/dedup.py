@@ -311,15 +311,171 @@ def _shingle_hash_sql(text_col: str, n: int = 3) -> str:
     return _bind_words_sql(text_col, body)
 
 
-def minhash_native_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
-) -> DataFrame:
-    """-> (id, sig array<bigint>[64]) — pure Columns, no Python.
+# ------------- exact-integer vectorized kernels (r6, guide §4.2) ----------
+#
+# The pure-Column signature stages fold per CHARACTER through
+# interpreted higher-order functions (`aggregate(split(w,''))` is
+# CodegenFallback — a lambda interpreter step per codepoint), which
+# measured as the dominant cost of q24/q25/q39. All the arithmetic is
+# integer mod 2^31-1, so numpy int64 reproduces it EXACTLY (every
+# intermediate < 2^63 — the portable.py invariant): the char fold
+# acc=(acc*mul+cp+bias)%M equals the closed form
+# sum((cp_i+bias)*mul^(L-1-i)) mod M, the word-compose identity is the
+# one _shingle_hash_sql already uses, and min/bit-count are order-free.
+# Tokenization stays in the JVM (`split(trim(text), ..)`) so the
+# engine-normative token semantics (portable.py WS_CLASS) are shared,
+# not re-implemented. Bit-equality expr==arrow is pinned in
+# tests/test_training_ops.py.
 
-    Stage 1 computes shingle hashes via the composed word-scan
-    (``_shingle_hash_sql``); stage 2 takes the 64 seeded
-    multiply-shift minima over that array. Work is O(chars +
-    shingles x NUM_PERM) multiply-adds per doc, JVM-side."""
+_POW_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _pow_mod(mul: int, upto: int) -> np.ndarray:
+    """[mul^0, mul^1, ... mul^upto] mod P.MOD as int64."""
+    tbl = _POW_CACHE.get(mul)
+    if tbl is None or len(tbl) <= upto:
+        n = max(upto + 1, 4096)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = 1
+        acc = 1
+        for i in range(1, n):
+            acc = (acc * mul) % P.MOD
+            out[i] = acc
+        _POW_CACHE[mul] = tbl = out
+    return tbl
+
+
+def _word_hashes(words: list[str], mul: int = P.CHAR_MUL, bias: int = 0):
+    """(h, lens) for a flat word list: h = portable char_hash per word
+    (engine split('') semantics: the empty word folds ONE zero-codepoint
+    step => hash == bias)."""
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=len(words))
+    total = int(lens.sum())
+    if total:
+        cp = np.frombuffer(
+            "".join(words).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+    else:
+        cp = np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    widx = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    k = ends[widx] - 1 - np.arange(total, dtype=np.int64)
+    pw = _pow_mod(mul, int(lens.max()) if len(lens) else 0)
+    terms = (cp + bias) * pw[k] % P.MOD
+    # per-word sums: bincount accumulates float64 — exact for sums
+    # < 2^53 (terms < 2^31 => words up to 4M chars; asserted)
+    assert int(lens.max() if len(lens) else 0) < (1 << 22), "word too long"
+    h = np.bincount(widx, weights=terms, minlength=len(words)).astype(np.int64)
+    h %= P.MOD
+    if bias:
+        h[lens == 0] = bias % P.MOD
+    return h, lens
+
+
+def _cumsum0(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+def _minhash_sig_kernel(words_col: str, shingle_n: int):
+    """mapInPandas kernel: (id, words) -> (id, sig[64]) bit-equal to the
+    expr path (word-compose shingle hashes, 64 seeded perm minima)."""
+    A = np.array([a for a, _ in P.PERMS], dtype=np.int64)
+    B = np.array([b for _, b in P.PERMS], dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [list(w) for w in pdf[words_col]]
+            mw = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+            flat: list[str] = [w for d in docs for w in d]
+            h, lens = _word_hashes(flat)
+            p = _pow_mod(P.CHAR_MUL, int(lens.max()) if len(lens) else 0)[lens]
+            p = np.where(lens == 0, 1, p)  # empty word: neutral power
+            dws = _cumsum0(mw)[:-1]
+            sc = np.maximum(mw - (shingle_n - 1), 0)
+            has = sc > 0
+            sdi = np.repeat(np.arange(len(docs), dtype=np.int64), sc)
+            local = np.arange(int(sc.sum()), dtype=np.int64) - np.repeat(
+                _cumsum0(sc)[:-1], sc
+            )
+            g0 = dws[sdi] + local
+            acc = h[g0]
+            for kk in range(1, shingle_n):
+                acc = (acc * P.CHAR_MUL + 32) % P.MOD  # append ' '
+                acc = (acc * p[g0 + kk] + h[g0 + kk]) % P.MOD
+            X = (acc[:, None] * A[None, :] + B[None, :]) % P.MOD  # [S, 64]
+            sigs = np.full((len(docs), P.NUM_PERM), P.EMPTY_SIG, dtype=np.int64)
+            if int(has.sum()):
+                starts = _cumsum0(sc[has])[:-1]
+                sigs[has] = np.minimum.reduceat(X, starts, axis=0)
+            yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs)})
+
+    return run
+
+
+def _simhash_kernel(words_col: str):
+    """mapInPandas kernel: (id, words) -> (id, simhash) bit-equal to
+    simhash_from_tokens_expr (62-bit majority fingerprint)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [list(w) for w in pdf[words_col]]
+            mw = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+            flat: list[str] = [w for d in docs for w in d]
+            h1, _ = _word_hashes(flat)
+            h2, _ = _word_hashes(flat, P.CHAR_MUL2, 1)
+            h62 = h1 + (h2 << 31)
+            bits = (h62[:, None] >> np.arange(P.SIMHASH_BITS, dtype=np.int64)) & 1
+            starts = _cumsum0(mw)[:-1]
+            # split(text) always yields >= 1 token ([''] for empty), so
+            # every reduceat segment is non-empty
+            ones = np.add.reduceat(bits, starts, axis=0)  # [n, 62]
+            fp = (
+                ((2 * ones > mw[:, None]).astype(np.int64))
+                << np.arange(P.SIMHASH_BITS, dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": fp})
+
+    return run
+
+
+def _with_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, words) with the NORMATIVE JVM tokenizer — the same
+    split(trim(text)) every engine twin uses (portable.py WS_CLASS)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"split(trim({text_col}), '{P.TOKEN_SPLIT_SPARK_LIT}')"
+        ).alias("_words"),
+    )
+
+
+def minhash_native_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """-> (id, sig array<bigint>[64]) in the portable hash family.
+
+    ``impl="arrow"`` (default since r6): JVM tokenization + one
+    vectorized mapInPandas pass (exact int64 arithmetic — see the
+    kernel block comment). ``impl="expr"``: the original pure-Column
+    fold — the DuckDB-twin verification form (stage 1 computes shingle
+    hashes via the composed word-scan ``_shingle_hash_sql``; stage 2
+    takes the 64 seeded multiply-shift minima)."""
+    if impl == "arrow":
+        id_t = _spark_type(df, id_col)
+        return _with_words(df, id_col, text_col).mapInPandas(
+            _minhash_sig_kernel("_words", shingle_n),
+            f"id {id_t}, sig array<bigint>",
+        )
     d = df.select(F.col(id_col).alias("id"), text_col).withColumn(
         "_hs", F.expr(_shingle_hash_sql(text_col, shingle_n))
     )
@@ -349,6 +505,7 @@ def minhash_native_pairs(
     threshold: float = 0.7,
     handles: list | None = None,
     signatures: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Oracle-expressible MinHash LSH near-dup pairs >= threshold:
     (id_a, id_b, est_jaccard), est = equal-slot fraction.
@@ -361,7 +518,7 @@ def minhash_native_pairs(
     if signatures is not None:
         sig = signatures
     else:
-        sig = minhash_native_signatures(df, id_col, text_col).persist()
+        sig = minhash_native_signatures(df, id_col, text_col, impl=impl).persist()
         if handles is not None:
             handles.append(sig)
     # exclude no-shingle docs from banding (EMPTY_SIG = MOD is
@@ -476,22 +633,35 @@ def simhash_native_pairs(
     text_col: str,
     max_hamming: int = 3,
     handles: list | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Portable SimHash near-dup pairs via the 4 x 16-bit banded Hamming
     join — full recall guaranteed for distance <= 3 (pigeonhole); the
-    default enforces that bound."""
+    default enforces that bound. ``impl`` picks the signature stage:
+    "arrow" (vectorized exact-int kernel, default since r6) or "expr"
+    (pure-Column folds, the DuckDB-twin verification form)."""
     assert max_hamming <= 3, "4x16 banding guarantees recall only to d<=3"
-    # stage the token-hash array as its own column so each token is
-    # hashed ONCE (Catalyst won't inline a non-cheap multi-referenced
-    # alias into the 62 per-bit folds)
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            simhash_tokens_expr(text_col).alias("_th"),
+    if impl == "arrow":
+        sig = (
+            _with_words(df, id_col, text_col)
+            .mapInPandas(
+                _simhash_kernel("_words"),
+                f"id {_spark_type(df, id_col)}, simhash bigint",
+            )
+            .persist()
         )
-        .select("id", simhash_from_tokens_expr("_th").alias("simhash"))
-        .persist()
-    )
+    else:
+        # stage the token-hash array as its own column so each token is
+        # hashed ONCE (Catalyst won't inline a non-cheap
+        # multi-referenced alias into the 62 per-bit folds)
+        sig = (
+            df.select(
+                F.col(id_col).alias("id"),
+                simhash_tokens_expr(text_col).alias("_th"),
+            )
+            .select("id", simhash_from_tokens_expr("_th").alias("simhash"))
+            .persist()
+        )
     if handles is not None:
         handles.append(sig)
     bands = F.array(
@@ -665,13 +835,20 @@ def paragraph_dedup(
     ``id * POS_PACK + pos``; POS_PACK bounds paragraphs per doc, far
     above any real document at chunk_words >= 10."""
     POS_PACK = 1 << 20
+    # the split is BOUND as a column before the paragraph transform —
+    # inlining it re-evaluates the O(doc) split for every paragraph
+    # access (the _bind_words_sql trap; measured ~10x on the gram
+    # explode shape at sf0.1, r6)
     paras = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' '))/{chunk_words}.0) - 1 as int)), "
+        f"transform(sequence(0, cast(ceil(size(_ws)/{chunk_words}.0) - 1 as int)), "
         f"g -> struct(cast(g as bigint) as pos, "
-        f"concat_ws(' ', slice(split({text_col}, ' '), g*{chunk_words}+1, {chunk_words})) as para))"
+        f"concat_ws(' ', slice(_ws, g*{chunk_words}+1, {chunk_words})) as para))"
     )
     occ = df.select(
-        F.col(id_col).alias("_id"), F.explode(paras).alias("o")
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    ).select(
+        F.col("_id"), F.explode(paras).alias("o")
     ).select(
         "_id",
         F.col("o.pos").alias("pos"),

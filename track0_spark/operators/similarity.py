@@ -113,6 +113,113 @@ def query_signature_fold(query: list[float], dim: int, planes: int) -> int:
     return sig
 
 
+# ---------------- bit-exact vectorized folds (r6, guide §4.2) -------------
+#
+# The native-Column folds above (`F.aggregate` / `F.transform` /
+# `F.zip_with`) are CodegenFallback expressions — Spark evaluates the
+# lambda interpreter-style per array element, which measured as the
+# dominant cost of every similarity query (q29: 38.7M candidate pairs
+# x 64-element folds at sf1.0). These kernels compute the IDENTICAL
+# IEEE-754 arithmetic in vectorized numpy: ``np.add.accumulate`` is a
+# strict sequential left-to-right accumulation, i.e. exactly the fold
+# order `F.aggregate(.., lit(0.0), (a,x) -> a+x)` and DuckDB's
+# `list_reduce(list_prepend(0.0, ..))` evaluate — so results are
+# bit-equal, including the leading `0.0 + x0` step (applied explicitly:
+# it differs from plain accumulation only on a -0.0 first element).
+# Three-way bit-equality is pinned in tests/test_training_ops.py.
+
+
+def _seq_fold_sum(P: np.ndarray) -> np.ndarray:
+    """Sequential left-fold sum along the LAST axis of float64 ``P``,
+    with the fold's 0.0 initial value (in place on P's first slice)."""
+    P[..., 0] = P[..., 0] + 0.0
+    return np.add.accumulate(P, axis=-1)[..., -1]
+
+
+def _as_matrix(series) -> np.ndarray:
+    """[n, d] float64 from a pandas Series of float32 arrays (the exact
+    per-element widening `transform(v, x -> cast(x as double))` does)."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _spark_gt(x: np.ndarray, y: float) -> np.ndarray:
+    """Spark SQL `>` ordering semantics: NaN compares larger than any
+    value (numpy would say False)."""
+    return (x > y) | np.isnan(x)
+
+
+def lsh_sig_norm_batches(id_col: str, vec_col: str, dim: int, planes: int):
+    """mapInPandas kernel: (id, vec passthrough, bucket, nrm) with the
+    bucket/norm folds bit-equal to lsh_bucket_expr / vec_norm_expr."""
+    H = _hyperplanes(dim, planes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _as_matrix(pdf[vec_col])
+            Pr = M[:, None, :] * H[None, :, :]  # [n, planes, d]
+            dots = _seq_fold_sum(Pr)
+            bucket = (
+                _spark_gt(dots, 0.0).astype(np.int64)
+                << np.arange(planes, dtype=np.int64)
+            ).sum(axis=1)
+            nrm = np.sqrt(_seq_fold_sum(M * M))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "bucket": bucket,
+                    "nrm": nrm,
+                }
+            )
+
+    return run
+
+
+def _group_score_batches(threshold: float, screen_margin: float = 1e-6):
+    """applyInPandas kernel for one (band, key) LSH group: all i<j pairs,
+    exact sequential-fold cosine, keep >= threshold (Spark NaN-largest
+    `>=` semantics). A BLAS matmul SCREEN first bounds which pairs can
+    possibly pass: |matmul - sequential fold| is ~1e-13 for unit-scale
+    values, so only pairs within ``screen_margin`` of the threshold (7
+    orders of magnitude wider) get the exact fold — the output set is
+    decided solely by the exact arithmetic."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=pdf["id"].dtype),
+                "id_b": pd.Series([], dtype=pdf["id"].dtype),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        # positional i<j must mean id_a < id_b (the pair orientation the
+        # expr path's `id_a < id_b` join condition produces)
+        pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+        M = _as_matrix(pdf["vec"])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            U = M / nrm[:, None]
+            S = U @ U.T
+        cand = (S >= threshold - screen_margin) | ~np.isfinite(S)
+        ii, jj = np.nonzero(np.triu(cand, 1))
+        if not len(ii):
+            return empty
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = _seq_fold_sum(M[ii] * M[jj]) / (nrm[ii] * nrm[jj])
+        keep = (cos >= threshold) | np.isnan(cos)
+        return pd.DataFrame(
+            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cosine": cos[keep]}
+        )
+
+    return run
+
+
 def with_lsh_bucket(
     df: DataFrame, id_col: str, vec_col: str, dim: int, planes: int = 12
 ) -> DataFrame:
@@ -159,6 +266,104 @@ def ann_topk_lsh(
     return brute_force_topk(cand, id_col, vec_col, query, k)
 
 
+def ann_topk_lsh_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    planes: int = 12,
+    radius: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """LSH-probed approximate top-k in ONE Arrow crossing (r6, guide
+    §4.2): the kernel computes bucket signature AND query cosine per
+    row with the exact sequential-fold arithmetic of
+    lsh_bucket_expr/cosine_score_expr (bit-equal — see the fold-kernel
+    block comment); bucket probe filter + TakeOrdered stay JVM-side."""
+    H = _hyperplanes(dim, planes)
+    qarr = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(sum(v * v for v in query)))
+    id_t = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _as_matrix(pdf[vec_col])
+            Pr = M[:, None, :] * H[None, :, :]
+            dots = _seq_fold_sum(Pr)
+            bucket = (
+                _spark_gt(dots, 0.0).astype(np.int64)
+                << np.arange(planes, dtype=np.int64)
+            ).sum(axis=1)
+            na = np.sqrt(_seq_fold_sum(M * M))
+            qdot = _seq_fold_sum(M * qarr)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = qdot / (na * qn)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "bucket": bucket, "score": score}
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        run, f"id {id_t}, bucket bigint, score double"
+    )
+    probe = query_buckets(query, dim, planes, radius)
+    return (
+        scored.filter(F.col("bucket").isin(probe))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    codebook=None,
+) -> DataFrame:
+    """IVF-probed approximate top-k in ONE Arrow crossing — the exact
+    fold arithmetic of ivf_cell_expr (argmin of -2*dot+||c||^2, first
+    minimum wins) + cosine_score_expr, vectorized (r6, guide §4.2)."""
+    C = ivf_centroids(dim, cells) if codebook is None else codebook
+    norms = np.asarray(_centroid_norms(C), dtype=np.float64)
+    qarr = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt(sum(v * v for v in query)))
+    id_t = dict(df.dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _as_matrix(pdf[vec_col])
+            Pr = M[:, None, :] * C[None, :, :]
+            dots = _seq_fold_sum(Pr)  # [n, cells]
+            dist = -2.0 * dots + norms[None, :]
+            cell = np.argmin(dist, axis=1).astype(np.int64) + 1
+            na = np.sqrt(_seq_fold_sum(M * M))
+            qdot = _seq_fold_sum(M * qarr)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                score = qdot / (na * qn)
+            yield pd.DataFrame({"id": pdf[id_col], "cell": cell, "score": score})
+
+    scored = df.select(id_col, vec_col).mapInPandas(
+        run, f"id {id_t}, cell int, score double"
+    )
+    probe = query_cells(query, dim, cells, nprobe, codebook=codebook)
+    return (
+        scored.filter(F.col("cell").isin(probe))
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def vec_norm_expr(vec_col: str):
     """Sequential-fold L2 norm (portable: same left-fold order as
     DuckDB's ``list_reduce``, so bit-equal across engines)."""
@@ -188,6 +393,7 @@ def cosine_near_dup_pairs(
     band_bits: int = 4,
     threshold: float = 0.35,
     handles: list | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
     candidate generation + exact-cosine re-rank (never all-pairs).
@@ -199,16 +405,49 @@ def cosine_near_dup_pairs(
     ``>= threshold`` — so precision is exact and only recall is
     approximate, the standard LSH near-dup contract.
 
-    Scale shape (100 TB): signatures are one codegen'd expression per
-    row (no UDF, no shuffle); the band self-join shuffles on the
-    (band, key) composite — band_bits tunes candidate volume against
-    recall; the re-rank joins vectors back by id (hash join on the id
-    key, AQE-skew-safe) and evaluates one fold per surviving pair. The
-    sequential fold keeps every arithmetic step bit-equal to the DuckDB
-    oracle twin (contract.py q29).
+    ``impl="arrow"`` (default since r6 — guide §4.2, measured 38.7M
+    candidate folds at sf1.0): signatures/norms come from one
+    vectorized mapInPandas pass, and each (band, key) group scores its
+    own i<j pairs inside one applyInPandas kernel (BLAS screen + exact
+    sequential-fold rescore), so the 30M+ candidate id-pairs are never
+    materialized into a distinct+join — only surviving pairs leave the
+    group, then one distinct dedupes band overlap (identical cosine
+    bits per band by construction). Every float op is bit-equal to the
+    interpreted-fold path (tests/test_training_ops.py pins equality).
+
+    ``impl="expr"`` is the pure-Column original (the DuckDB-twin
+    verification form; also what a no-Python-workers deploy would run).
+
+    Scale shape (100 TB): one Arrow pass per row for signatures; the
+    banded shuffle carries (id, vec, nrm) x bands — band_bits tunes
+    candidate volume against recall; group skew is bounded by the key
+    width and AQE splits the rest. Nothing is broadcast and no driver
+    state exists in either impl.
     """
     bands = planes // band_bits
     mask = (1 << band_bits) - 1
+    if impl == "arrow":
+        id_t = dict(df.dtypes)[id_col]
+        vec_t = dict(df.dtypes)[vec_col]
+        sig = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            lsh_sig_norm_batches(id_col, vec_col, dim, planes),
+            f"id {id_t}, vec {vec_t}, bucket bigint, nrm double",
+        )
+        band_arr = F.array(
+            *[
+                F.shiftright("bucket", band_bits * i).bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ]
+        )
+        banded = sig.select(
+            "id", "vec", "nrm", F.posexplode(band_arr).alias("band", "key")
+        )
+        scored = banded.groupBy("band", "key").applyInPandas(
+            _group_score_batches(threshold),
+            f"id_a {id_t}, id_b {id_t}, cosine double",
+        )
+        return scored.distinct()
+    # ---- impl == "expr": the original interpreted-fold pipeline ----
     # persist: sig is read three times (banded explode + both re-rank
     # sides) and the 12-plane fold + norm are the dominant per-row
     # cost — without this they recompute on every branch. The caller

@@ -45,6 +45,27 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # r6 guide §6/§3: the contract tables ship as one file each with
+        # 21MB row groups (lineitem sf1.0: 6 groups / 126MB) — the 128m
+        # default turns every scan into ONE task. 16m splits them to
+        # row-group granularity. Float-agg parity with the single-
+        # threaded oracle is unaffected at the driver's correctness
+        # scales (every sf<=0.1 file is <16m => still one split,
+        # bit-identical plans); at bench scale DuckDB itself is
+        # accumulation-order-unstable (threads=1 vs 32 differ), so no
+        # bit-contract exists there to preserve. Dimension-sized sides
+        # (orders@sf1 projected: ~25m) broadcast under 64m instead of
+        # shuffling the 6M-row fact side. Both parameterised; the crawl
+        # profile pins the defaults (CRAWL_PROFILE) so golden-pinned
+        # crawl plans are untouched.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -67,6 +88,12 @@ def build_spark(
 CRAWL_PROFILE = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.join.preferSortMergeJoin": "false",
+    # pin the Spark defaults the golden crawl plans were built under —
+    # the r6 query-profile scan/broadcast tuning above must not leak
+    # into the round loop (its joins are explicitly hinted/gated and
+    # its input layout is the bench web, not the contract tables)
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "10m",
 }
 
 
