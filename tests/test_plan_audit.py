@@ -50,6 +50,7 @@ ARROW_OK = {
     "q25_simhash_near_pairs",
     "q27_ann_lsh",
     "q29_cosine_near_dup",
+    "q30_clean_pipeline",
     "q31_ann_ivf",
 }
 

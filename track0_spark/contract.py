@@ -956,15 +956,27 @@ def q30_clean_pipeline(spark, sf):
     hash-agg + join-back, no sort) -> per-lang corpus stats. Shows the
     operators composing end-to-end the way a real cleaning job chains
     them; every stage stays whole-stage-codegen (zero Python)."""
-    from .operators.textstats import fingerprint_expr, token_count_expr
+    from .operators.textstats import fingerprint_kernel
 
-    d = T(spark, sf, "documents", floor=True).select("doc_id", "lang", "text")
-    q = (
-        d.withColumn("n_tokens", token_count_expr("text"))
-        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 80))
-        .withColumn("fp", fingerprint_expr("text"))
-        .select("doc_id", "lang", "n_tokens", "fp")
+    # one JVM tokenize (lower+trim+split), native size() filter, then
+    # the vectorized fingerprint kernel (r6 — the per-char interpreted
+    # fold was this query's dominant cost; bit parity pinned in
+    # tests/test_training_ops.py)
+    d = (
+        T(spark, sf, "documents", floor=True)
+        .select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            F.expr(
+                f"split(trim(lower(text)), '{_P.TOKEN_SPLIT_SPARK_LIT}')"
+            ).alias("_w"),
+        )
+        .filter((F.size("_w") >= 20) & (F.size("_w") <= 80))
     )
+    q = d.mapInPandas(
+        fingerprint_kernel("_w", ("lang",)),
+        "id long, lang string, n_tokens bigint, fp bigint",
+    ).select(F.col("id").alias("doc_id"), "lang", "n_tokens", "fp")
     keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = q.join(keep, ["fp", "doc_id"])
     return kept.groupBy("lang").agg(
@@ -1525,19 +1537,38 @@ def q40_graph_rank(spark, sf):
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # aggregate on the raw INT keys and build the node-name strings
+    # AFTER the groupBy (r6): the 6M-group hash agg and its shuffle
+    # carry two ints instead of two concat'd strings — same groups,
+    # same counts, same output rows
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    edges = e0.union(
-        e0.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            "w",
         )
     )
+    # symmetrise by EXPLODING both directions out of the aggregated
+    # pair (r6): the old union(e0, reversed(e0)) evaluated the
+    # lineitem x orders join + aggregation once PER BRANCH (Spark does
+    # no cross-branch CSE) — same edge multiset, half the build work
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src"), F.col("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     pr = pagerank(edges, iters=5, damping=0.85)
     return pr.select("node", F.round("rank", 8).alias("rank"))
 
@@ -2184,13 +2215,16 @@ def q49_graph_rank_dangling(spark, sf):
 
     li = T(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # int-keyed agg, strings built after (the q40 r6 change)
     edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     pr = pagerank(edges, iters=3, damping=0.85, dangling="redistribute")
     return pr.select("node", F.round("rank", 8).alias("rank"))

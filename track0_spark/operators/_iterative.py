@@ -28,6 +28,7 @@ def iteration_scope(spark, working_set_rows: int):
         for k in (
             "spark.sql.adaptive.enabled",
             "spark.sql.shuffle.partitions",
+            "spark.sql.join.preferSortMergeJoin",
         )
     }
     p = max(1, min(
@@ -37,6 +38,13 @@ def iteration_scope(spark, working_set_rows: int):
     try:
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", str(p))
+        # shuffled-hash, not sort-merge (r6, guide §3.1): every loop
+        # join streams the PINNED big side (edges) against a small
+        # node-cardinality build side (ranks/labels) — sort-merge was
+        # re-SORTING the full edge table every iteration (measured
+        # ~2.8s/iter of q40's 12M-edge loop at sf1.0). Build sides are
+        # per-partition node tables, bounded by p x ROWS_PER_PARTITION.
+        conf.set("spark.sql.join.preferSortMergeJoin", "false")
         yield p
     finally:
         for k, v in old.items():

@@ -84,6 +84,48 @@ FP_MOD = 2_147_483_647  # 2^31 - 1; keeps the fold inside long range
 FP_MUL = 1_000_003
 
 
+def fingerprint_kernel(words_col: str, keep_cols: tuple[str, ...] = ()):
+    """mapInPandas kernel: (id, *keep, words) -> (id, *keep, n_tokens,
+    fp) with ``fp`` bit-equal to fingerprint_expr's fold (r6, guide
+    §4.2 — the per-character interpreted fold was q30's dominant cost).
+    Exact-int closed form: fp = sum(tok_hash_t * FP_MUL^(T-1-t)) mod
+    FP_MOD, all intermediates < 2^63 (see dedup.py kernel block)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _cumsum0, _pow_mod, _word_hashes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [list(w) for w in pdf[words_col]]
+            mw = np.fromiter(
+                (len(d) for d in docs), dtype=np.int64, count=len(docs)
+            )
+            flat: list[str] = [w for d in docs for w in d]
+            h, _lens = _word_hashes(flat)
+            ends = np.cumsum(mw)
+            didx = np.repeat(np.arange(len(docs), dtype=np.int64), mw)
+            k = ends[didx] - 1 - np.arange(int(mw.sum()), dtype=np.int64)
+            pw = _pow_mod(FP_MUL, int(mw.max()) if len(mw) else 0)
+            terms = h * pw[k] % FP_MOD
+            fp = np.bincount(didx, weights=terms, minlength=len(docs)).astype(
+                np.int64
+            )
+            fp %= FP_MOD
+            out = {"id": pdf["id"]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["n_tokens"] = mw
+            out["fp"] = fp
+            yield pd.DataFrame(out)
+
+    return run
+
+
 def fingerprint_expr(text_col: str) -> Column:
     """Order-sensitive rolling document fingerprint: left fold of
     per-token PORTABLE char hashes (track0s/portable.py) with a

@@ -45,7 +45,7 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # r6 guide §6/§3: the contract tables ship as one file each with
+        # r6 guide §6: the contract tables ship as one file each with
         # 21MB row groups (lineitem sf1.0: 6 groups / 126MB) — the 128m
         # default turns every scan into ONE task. 16m splits them to
         # row-group granularity. Float-agg parity with the single-
@@ -53,18 +53,25 @@ def build_spark(
         # scales (every sf<=0.1 file is <16m => still one split,
         # bit-identical plans); at bench scale DuckDB itself is
         # accumulation-order-unstable (threads=1 vs 32 differ), so no
-        # bit-contract exists there to preserve. Dimension-sized sides
-        # (orders@sf1 projected: ~25m) broadcast under 64m instead of
-        # shuffling the 6M-row fact side. Both parameterised; the crawl
-        # profile pins the defaults (CRAWL_PROFILE) so golden-pinned
-        # crawl plans are untouched.
+        # bit-contract exists there to preserve. Parameterised; the
+        # crawl profile pins the default (CRAWL_PROFILE) so golden-
+        # pinned crawl plans are untouched. (A 64m auto-broadcast
+        # threshold was tried here and REVERTED: building a 1.5M-row
+        # broadcast relation measured slower than the shuffle join it
+        # replaced — q40 edge build 4.5s vs 3.3s.)
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
         )
+        # guide §3.1/§9: let the planner pick shuffled-hash over
+        # sort-merge when its size conditions hold — the contract
+        # queries' non-broadcast joins (q40/q49 fact-fact edge build)
+        # were paying a full sort of both sides. AQE's runtime SMJ->SHJ
+        # rewrite gets the same 64m-per-partition budget.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
-            "spark.sql.autoBroadcastJoinThreshold",
-            os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "64m"),
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
