@@ -52,6 +52,7 @@ ARROW_OK = {
     "q29_cosine_near_dup",
     "q30_clean_pipeline",
     "q31_ann_ivf",
+    "q41_importance_weights",
 }
 
 #: queries that legitimately read a fat payload column (as a filter

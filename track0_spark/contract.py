@@ -1628,45 +1628,43 @@ def q41_importance_weights(spark, sf):
     the B-row log-ratio table is BROADCAST onto the exploded bigrams
     (no shuffle of the corpus), one per-doc hash agg finishes — at
     100 TB the only wide exchange is the final groupBy(doc_id)."""
-    from .operators.dedup import char_hash_sql
+    from .operators.dedup import gram_bucket_kernel
 
     B = _DSIR_BUCKETS
-    # bound token column (the q37 inline-split-in-lambda fix, r6)
+    # vectorized gram-bucket kernel (r6, guide §4.2): the gram explode
+    # + per-character interpreted char-fold was this query's dominant
+    # cost; the kernel emits (doc, lang, bucket) rows with the exact
+    # same int64 hash via the word-compose identity. Tokenization
+    # (plain single-space split) stays JVM-side.
     d = (
         T(spark, sf, "documents", floor=True)
-        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
+        .select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            F.split(F.col("text"), " ").alias("t"),
+        )
     )
-    toks = F.col("t")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = d.select(
-        "doc_id",
-        "lang",
-        F.explode(grams).alias("gram"),
-    ).select(
-        "doc_id",
-        "lang",
-        F.expr(f"({char_hash_sql('gram')}) % {B}").alias("bucket"),
-    )
+    g = d.mapInPandas(
+        gram_bucket_kernel("t", ("lang",), 2, B),
+        "id long, lang string, bucket bigint",
+    ).select(F.col("id").alias("doc_id"), "lang", "bucket")
+    # single-pass totals and a single grouped agg for both bucket count
+    # tables (r6 — was four full passes over the exploded grams):
+    # sum(when(en)) == the left-joined ct with coalesce(ct,0), since cr
+    # covers every bucket present and absent-en buckets count 0
     handles: list = [g.persist()]
-    t_raw = g.count()
-    t_tgt = g.filter(F.col("lang") == "en").count()
-    cr = g.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    ct = (
-        g.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    tr = g.agg(
+        F.count(F.lit(1)).alias("r"), F.sum(en).alias("t")
+    ).first()
+    t_raw, t_tgt = int(tr["r"]), int(tr["t"])
+    crct = g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum(en).alias("ct")
     )
-    ratio = cr.join(ct, "bucket", "left").select(
+    ratio = crct.select(
         "bucket",
         F.log(
-            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / F.lit(t_tgt + B))
+            ((F.col("ct") + 1.0) / F.lit(t_tgt + B))
             / ((F.col("cr") + 1.0) / F.lit(t_raw + B))
         ).alias("lr"),
     )

@@ -378,9 +378,46 @@ def _cumsum0(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def _minhash_sig_kernel(words_col: str, shingle_n: int):
-    """mapInPandas kernel: (id, words) -> (id, sig[64]) bit-equal to the
-    expr path (word-compose shingle hashes, 64 seeded perm minima)."""
+def _doc_gram_hashes(docs: list[list[str]], n: int):
+    """Word-n-gram portable hashes for a batch of token lists, via the
+    word-compose identity (the _shingle_hash_sql arithmetic, exact
+    int64). Returns (mw, sc, acc): words per doc, grams per doc, and
+    the flat gram-hash array in (doc, position) order."""
+    mw = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+    flat: list[str] = [w for d in docs for w in d]
+    h, lens = _word_hashes(flat)
+    p = _pow_mod(P.CHAR_MUL, int(lens.max()) if len(lens) else 0)[lens]
+    p = np.where(lens == 0, 1, p)  # empty word: neutral power
+    dws = _cumsum0(mw)[:-1]
+    sc = np.maximum(mw - (n - 1), 0)
+    sdi = np.repeat(np.arange(len(docs), dtype=np.int64), sc)
+    local = np.arange(int(sc.sum()), dtype=np.int64) - np.repeat(
+        _cumsum0(sc)[:-1], sc
+    )
+    g0 = dws[sdi] + local
+    acc = h[g0]
+    for kk in range(1, n):
+        acc = (acc * P.CHAR_MUL + 32) % P.MOD  # append ' '
+        acc = (acc * p[g0 + kk] + h[g0 + kk]) % P.MOD
+    return mw, sc, acc
+
+
+def _band_keys_np(sigs: np.ndarray) -> np.ndarray:
+    """[n, NUM_BANDS] band-fold keys from [n, NUM_PERM] signatures —
+    the _band_keys_expr arithmetic, exact int64."""
+    keys = np.empty((len(sigs), P.NUM_BANDS), dtype=np.int64)
+    for b in range(P.NUM_BANDS):
+        acc = np.zeros(len(sigs), dtype=np.int64)
+        for r in range(P.ROWS_PER_BAND):
+            acc = (acc * P.BAND_MUL + sigs[:, b * P.ROWS_PER_BAND + r]) % P.MOD
+        keys[:, b] = acc
+    return keys
+
+
+def _minhash_sig_kernel(words_col: str, shingle_n: int, with_bands: bool = False):
+    """mapInPandas kernel: (id, words) -> (id, sig[64][, bands[16]])
+    bit-equal to the expr path (word-compose shingle hashes, 64 seeded
+    perm minima, optional band-fold keys)."""
     A = np.array([a for a, _ in P.PERMS], dtype=np.int64)
     B = np.array([b for _, b in P.PERMS], dtype=np.int64)
 
@@ -389,29 +426,41 @@ def _minhash_sig_kernel(words_col: str, shingle_n: int):
             if not len(pdf):
                 continue
             docs = [list(w) for w in pdf[words_col]]
-            mw = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
-            flat: list[str] = [w for d in docs for w in d]
-            h, lens = _word_hashes(flat)
-            p = _pow_mod(P.CHAR_MUL, int(lens.max()) if len(lens) else 0)[lens]
-            p = np.where(lens == 0, 1, p)  # empty word: neutral power
-            dws = _cumsum0(mw)[:-1]
-            sc = np.maximum(mw - (shingle_n - 1), 0)
+            mw, sc, acc = _doc_gram_hashes(docs, shingle_n)
             has = sc > 0
-            sdi = np.repeat(np.arange(len(docs), dtype=np.int64), sc)
-            local = np.arange(int(sc.sum()), dtype=np.int64) - np.repeat(
-                _cumsum0(sc)[:-1], sc
-            )
-            g0 = dws[sdi] + local
-            acc = h[g0]
-            for kk in range(1, shingle_n):
-                acc = (acc * P.CHAR_MUL + 32) % P.MOD  # append ' '
-                acc = (acc * p[g0 + kk] + h[g0 + kk]) % P.MOD
             X = (acc[:, None] * A[None, :] + B[None, :]) % P.MOD  # [S, 64]
             sigs = np.full((len(docs), P.NUM_PERM), P.EMPTY_SIG, dtype=np.int64)
             if int(has.sum()):
                 starts = _cumsum0(sc[has])[:-1]
                 sigs[has] = np.minimum.reduceat(X, starts, axis=0)
-            yield pd.DataFrame({"id": pdf["id"], "sig": list(sigs)})
+            out = {"id": pdf["id"], "sig": list(sigs)}
+            if with_bands:
+                out["bands"] = list(_band_keys_np(sigs))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def gram_bucket_kernel(words_col: str, keep_cols: tuple[str, ...], n: int, buckets: int):
+    """mapInPandas kernel: (id, *keep, words) -> one row per word
+    n-gram: (id, *keep, bucket) where bucket = portable char_hash of
+    the space-joined gram mod ``buckets`` — bit-equal to exploding the
+    gram strings and char-folding them (q41's DSIR featurizer; the
+    interpreted per-character fold over every gram was its dominant
+    cost, r6 guide §4.2)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = [list(w) for w in pdf[words_col]]
+            mw, sc, acc = _doc_gram_hashes(docs, n)
+            didx = np.repeat(np.arange(len(docs), dtype=np.int64), sc)
+            out = {"id": pdf["id"].to_numpy()[didx]}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()[didx]
+            out["bucket"] = acc % buckets
+            yield pd.DataFrame(out)
 
     return run
 
@@ -517,8 +566,26 @@ def minhash_native_pairs(
     against the prior corpus index."""
     if signatures is not None:
         sig = signatures
+        bands_col = None
+    elif impl == "arrow":
+        # the kernel emits the 16 band-fold keys alongside the
+        # signature (same int64 arithmetic as _band_keys_expr — one
+        # vectorized pass instead of a 64-step interpreted fold per doc)
+        id_t = _spark_type(df, id_col)
+        sig = (
+            _with_words(df, id_col, text_col)
+            .mapInPandas(
+                _minhash_sig_kernel("_words", 3, with_bands=True),
+                f"id {id_t}, sig array<bigint>, bands array<bigint>",
+            )
+            .persist()
+        )
+        bands_col = "bands"
+        if handles is not None:
+            handles.append(sig)
     else:
         sig = minhash_native_signatures(df, id_col, text_col, impl=impl).persist()
+        bands_col = None
         if handles is not None:
             handles.append(sig)
     # exclude no-shingle docs from banding (EMPTY_SIG = MOD is
@@ -527,7 +594,10 @@ def minhash_native_pairs(
     # every short/empty doc against every other (O(n^2) on that subset)
     # and report unrelated docs as est_jaccard=1.0 near-dups
     banded = sig.filter(F.col("sig")[0] != F.lit(P.EMPTY_SIG)).select(
-        "id", F.posexplode(F.expr(_band_keys_expr())).alias("band", "key")
+        "id",
+        F.posexplode(
+            F.col(bands_col) if bands_col else F.expr(_band_keys_expr())
+        ).alias("band", "key"),
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")

@@ -197,14 +197,22 @@ def anchor_texts(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # canonicalize is a pure function and link targets repeat
+        # heavily within a batch (nav/footer links, shared targets) —
+        # memoize per batch (r6; bounded by the batch's distinct-url
+        # count, cleared each batch)
         for pdf in batches:
             src: list[str] = []
             dst: list[str] = []
             anc: list[str] = []
+            memo: dict[str, str] = {}
             for u, h in zip(pdf["url"], pdf["html"]):
                 for absu, text in parse_anchors(u, decode_html(bytes(h))):
+                    c = memo.get(absu)
+                    if c is None:
+                        c = memo[absu] = canonicalize(absu)
                     src.append(u)
-                    dst.append(canonicalize(absu))
+                    dst.append(c)
                     anc.append(text)
             yield pd.DataFrame(
                 {"src_url": src, "dst_url": dst, "anchor": anc},
